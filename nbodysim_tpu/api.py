@@ -1,0 +1,97 @@
+"""High-level user API.
+
+`Simulation` mirrors the reference's `class Simulation` surface
+(Simulation.hpp:49-75: construct -> `step()` -> read `bodies` / `frame` /
+`dt`) as a thin stateful wrapper over the pure-functional core, so a user of
+the reference finds the same mental model; `simulate` is the functional
+entry point for on-device rollouts.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.core.state import ParticleState
+from nbodysim_tpu.physics.integrators import (
+    make_rollout,
+    make_step,
+    prime_accelerations,
+)
+
+
+class Simulation:
+    """Stateful convenience wrapper (reference: Simulation.hpp:49-75).
+
+    >>> sim = Simulation(SimConfig(n=4096), scene="uniform_disc")
+    >>> sim.step()           # one fused device step
+    >>> sim.run(100)         # 100 steps under one lax.scan
+    >>> sim.state.pos        # SoA field access (reference: sim.bodies)
+    """
+
+    def __init__(
+        self,
+        config: Optional[SimConfig] = None,
+        scene: str = "uniform_disc",
+        state: Optional[ParticleState] = None,
+        **scene_kwargs,
+    ):
+        self.config = config or SimConfig()
+        if state is None:
+            from nbodysim_tpu.scenes import init_scene
+
+            state = init_scene(scene, self.config, **scene_kwargs)
+        if self.config.integrator == "leapfrog_kdk":
+            state = prime_accelerations(state, self.config)
+        self.state = state
+        self._step = make_step(self.config)
+        self._rollouts: dict[int, Callable] = {}
+
+    @property
+    def frame(self) -> int:
+        return int(self.state.frame)
+
+    @property
+    def dt(self) -> float:
+        return self.config.dt
+
+    def set_dt(self, dt: float) -> None:
+        """Change the timestep (reference: SIMULATION_DT atomic + T/Y keys)."""
+        self.config = self.config.replace(dt=dt)
+        self._step = make_step(self.config)
+        self._rollouts.clear()
+
+    def step(self) -> ParticleState:
+        self.state = self._step(self.state)
+        return self.state
+
+    def run(self, num_steps: int) -> ParticleState:
+        """num_steps fused on device under lax.scan."""
+        if num_steps not in self._rollouts:
+            self._rollouts[num_steps] = make_rollout(self.config, num_steps)
+        self.state = self._rollouts[num_steps](self.state)
+        return self.state
+
+    def diagnostics(self):
+        from nbodysim_tpu.diagnostics.metrics import diagnostics
+
+        return diagnostics(self.state, self.config)
+
+    def system_metrics(self):
+        from nbodysim_tpu.diagnostics.metrics import system_metrics
+
+        return system_metrics(self.state, self.config)
+
+
+def simulate(
+    state: ParticleState,
+    config: SimConfig,
+    num_steps: int,
+) -> ParticleState:
+    """Functional rollout: `num_steps` fused steps on device."""
+    if config.integrator == "leapfrog_kdk":
+        state = prime_accelerations(state, config)
+    return make_rollout(config, num_steps)(state)

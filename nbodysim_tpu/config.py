@@ -1,0 +1,92 @@
+"""Typed configuration for the simulator.
+
+The reference hardcodes every physical constant as C++ `constexpr` scattered
+across files (Simulation.hpp:120-124 boundary/damping/vmax; Simulation.hpp:59
+theta/epsilon; Simulation.hpp:20 collision cell size; Simulation.hpp:61 N;
+main.cpp:39 dt). Here every one of those becomes a typed config field with the
+reference value as its default, so the default-constructed config reproduces
+the reference simulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """Static simulation configuration (hashable; safe to close over in jit).
+
+    Defaults reproduce the reference: Simulation.hpp:59 (theta=1, eps=1),
+    main.cpp:39 (dt=0.01), Simulation.hpp:61 (n=25000),
+    Simulation.hpp:120-124 (boundary constants, vmax).
+    """
+
+    # Problem size
+    n: int = 25_000
+    dim: int = 2  # the reference is 2D; 3D is supported throughout
+
+    # Integration
+    dt: float = 0.01           # main.cpp:39 SIMULATION_DT initial value
+    integrator: str = "euler_symplectic"  # or "leapfrog_kdk"
+    g_const: float = 1.0       # G=1 implicitly (Quadtree.hpp:127)
+
+    # Gravity softening (Plummer): eps^2 added inside the inverse-distance
+    softening: float = 1.0     # epsilon; Simulation.hpp:59 ctor arg -> e_sq=1
+    theta: float = 1.0         # Barnes-Hut opening angle (Simulation.hpp:59)
+
+    # Velocity clamp + soft boundary (Simulation.hpp:120-124)
+    max_velocity: float = 1000.0
+    boundary_radius: float = 100_000.0
+    boundary_soft_frac: float = 0.8      # SOFT_BOUNDARY = radius * 0.8
+    boundary_force: float = 0.9
+    boundary_damping: float = 0.9995
+    enable_boundary: bool = True
+    enable_velocity_clamp: bool = True
+
+    # Collisions (Simulation.hpp:18-47, 216-346)
+    enable_collisions: bool = True
+    collision_cell_size: float = 600.0   # SpatialGrid::CELL_SIZE
+    collision_impulse: float = 1.5       # resolve() impulse factor, hpp:338
+    collision_iterations: int = 1        # Jacobi sweeps per step (1 = ref-like)
+    collision_max_neighbors: int = 16    # grid bucket capacity at large N
+
+    # Force backend: "auto" | "pallas" | "xla" | "bh" (Barnes-Hut)
+    force_backend: str = "auto"
+    # Pallas tile sizes (targets VPU 8x128 lanes; see kernels/allpairs.py)
+    force_block_targets: int = 1024
+    force_block_sources: int = 1024
+
+    # Barnes-Hut / multilevel grid backend (physics/barneshut.py)
+    bh_levels: int = 8
+
+    # Numerics
+    dtype: Any = jnp.float32
+
+    # RNG
+    seed: int = 0
+
+    # Multi-chip
+    mesh_axis: str = "shards"
+
+    def __post_init__(self):
+        if self.dim not in (2, 3):
+            raise ValueError(f"dim must be 2 or 3, got {self.dim}")
+        if self.integrator not in ("euler_symplectic", "leapfrog_kdk"):
+            raise ValueError(f"unknown integrator {self.integrator!r}")
+        if self.force_backend not in ("auto", "pallas", "xla", "bh"):
+            raise ValueError(f"unknown force backend {self.force_backend!r}")
+
+    @property
+    def eps_sq(self) -> float:
+        return self.softening * self.softening
+
+    @property
+    def soft_boundary(self) -> float:
+        return self.boundary_radius * self.boundary_soft_frac
+
+    def replace(self, **kw) -> "SimConfig":
+        return dataclasses.replace(self, **kw)
