@@ -56,9 +56,11 @@ class SimConfig:
 
     # Force backend: "auto" | "pallas" | "xla" | "bh" (Barnes-Hut)
     force_backend: str = "auto"
-    # Pallas tile sizes (targets VPU 8x128 lanes; see kernels/allpairs.py)
-    force_block_targets: int = 1024
-    force_block_sources: int = 1024
+    # Pallas tile sizes (targets VPU 8x128 lanes; see kernels/allpairs.py;
+    # defaults from a measured v5e sweep: 1.99e11 pairs/s at N=64k; larger
+    # target tiles OOM scoped VMEM at N=1M)
+    force_block_targets: int = 256
+    force_block_sources: int = 2048
 
     # Barnes-Hut / multilevel grid backend (physics/barneshut.py)
     bh_levels: int = 8
