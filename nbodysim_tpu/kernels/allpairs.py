@@ -106,32 +106,41 @@ def _allpairs_kernel(
     ),
 )
 def allpairs_accelerations(
-    pos: jax.Array,            # [N, D]
-    mass: jax.Array,           # [N]
+    pos: jax.Array,            # [N, D]  target positions
+    mass: jax.Array,           # [N]     (source masses if src_pos is None)
     *,
     eps_sq: float,
     g_const: float = 1.0,
     block_targets: int = 256,
     block_sources: int = 2048,
     interpret: bool = False,
+    src_pos: jax.Array | None = None,   # [S, D] separate sources (ring pass)
+    src_mass: jax.Array | None = None,  # [S]
 ) -> jax.Array:
     """All-pairs softened accelerations via the Pallas kernel. [N, D].
 
+    With `src_pos`/`src_mass`, computes accelerations on `pos` due to those
+    sources only — the building block of the multi-chip ring reduction
+    (parallel/sharded.py), where each device streams remote source shards.
     Inputs are padded to tile multiples; padded sources carry zero mass so
     they contribute nothing, and padded target rows are sliced off.
     """
+    if src_pos is None:
+        src_pos, src_mass = pos, mass
     n, dim = pos.shape
+    n_src = src_pos.shape[0]
     pos = pos.astype(jnp.float32)
-    mass = mass.astype(jnp.float32)
+    src_pos = src_pos.astype(jnp.float32)
+    src_mass = src_mass.astype(jnp.float32)
 
     bt = min(block_targets, max(8, 1 << (n - 1).bit_length()))
-    bs = min(block_sources, max(128, 1 << (n - 1).bit_length()))
+    bs = min(block_sources, max(128, 1 << (n_src - 1).bit_length()))
 
     n_t = _cdiv(n, bt) * bt
-    n_s = _cdiv(n, bs) * bs
+    n_s = _cdiv(n_src, bs) * bs
     tgt = jnp.pad(pos, ((0, n_t - n), (0, 0)))
-    srcT = jnp.pad(pos, ((0, n_s - n), (0, 0))).T          # [D, n_s]
-    m_row = jnp.pad(mass, (0, n_s - n))[None, :]           # [1, n_s]
+    srcT = jnp.pad(src_pos, ((0, n_s - n_src), (0, 0))).T  # [D, n_s]
+    m_row = jnp.pad(src_mass, (0, n_s - n_src))[None, :]   # [1, n_s]
 
     grid = (n_t // bt, n_s // bs)
 

@@ -1,0 +1,13 @@
+from nbodysim_tpu.parallel.sharded import (
+    make_mesh,
+    shard_state,
+    make_sharded_step,
+    ring_accelerations,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_state",
+    "make_sharded_step",
+    "ring_accelerations",
+]

@@ -3,7 +3,6 @@ sharding paths are exercised without TPU hardware (SURVEY.md §4)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +11,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The environment's sitecustomize force-registers the axon TPU platform and
+# overrides the JAX_PLATFORMS env var, so the config update is the only way
+# to actually pin tests to the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 import pytest  # noqa: E402
