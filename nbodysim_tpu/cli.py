@@ -1,0 +1,216 @@
+"""Command-line interface — the headless analogue of the reference app.
+
+The reference is an interactive raylib window (main.cpp:637-958: keyboard
+controls, dt slider, HUD metrics panel). On a TPU host there is no window;
+the same surface maps to subcommands:
+
+  run     step a scene, print the HUD metrics panel every K steps,
+          checkpoint every K steps, resume from a checkpoint
+  render  headless render to a PNG frame sequence / mp4 (BASELINE config 3)
+  bench   the benchmark harness (same as bench.py)
+  info    print device/backend info and the resolved config
+
+Reference controls that are runtime toggles (pause, dt x1.5 / x0.666,
+performance mode, show/hide) become flags; compile-time constants are
+SimConfig fields (--set key=value).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _parse_config(args) -> "SimConfig":
+    from nbodysim_tpu.config import SimConfig
+
+    cfg = SimConfig()
+    overrides = {}
+    if args.n is not None:
+        overrides["n"] = args.n
+    if args.dt is not None:
+        overrides["dt"] = args.dt
+    if getattr(args, "integrator", None):
+        overrides["integrator"] = args.integrator
+    if getattr(args, "backend", None):
+        overrides["force_backend"] = args.backend
+    if args.seed is not None:
+        overrides["seed"] = args.seed
+    for kv in args.set or []:
+        k, _, v = kv.partition("=")
+        if not _ or not hasattr(cfg, k):
+            raise SystemExit(f"unknown config field in --set: {k!r}")
+        current = getattr(cfg, k)
+        if isinstance(current, bool):
+            overrides[k] = v.lower() in ("1", "true", "yes")
+        elif isinstance(current, int):
+            overrides[k] = int(v)
+        elif isinstance(current, float):
+            overrides[k] = float(v)
+        else:
+            overrides[k] = v
+    return cfg.replace(**overrides)
+
+
+def _add_common(p):
+    p.add_argument("--scene", default="uniform_disc",
+                   help="scene name (see nbodysim_tpu.scenes.SCENES)")
+    p.add_argument("--n", type=int, default=None, help="particle count")
+    p.add_argument("--dt", type=float, default=None, help="timestep")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--integrator",
+                   choices=["euler_symplectic", "leapfrog_kdk"], default=None)
+    p.add_argument("--backend", choices=["auto", "pallas", "xla", "bh"],
+                   default=None)
+    p.add_argument("--set", action="append", metavar="KEY=VALUE",
+                   help="override any SimConfig field")
+
+
+def cmd_run(args):
+    import jax
+
+    from nbodysim_tpu.api import Simulation
+    from nbodysim_tpu.diagnostics.metrics import diagnostics, system_metrics
+    from nbodysim_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    config = _parse_config(args)
+
+    if args.resume:
+        state, saved_cfg = load_checkpoint(args.resume)
+        if saved_cfg is not None:
+            config = saved_cfg
+        sim = Simulation(config, state=state)
+        print(f"resumed from {args.resume} at frame {sim.frame}")
+    else:
+        sim = Simulation(config, scene=args.scene)
+
+    total = args.steps
+    chunk = max(1, min(args.log_every, total))
+    t_start = time.perf_counter()
+    while int(sim.frame) < total:
+        todo = min(chunk, total - int(sim.frame))
+        sim.run(todo)
+        d = sim.diagnostics()
+        elapsed = time.perf_counter() - t_start
+        sps = int(sim.frame) / max(elapsed, 1e-9)
+        # HUD panel (reference main.cpp:919-944)
+        print(
+            f"frame {int(sim.frame):7d} | E {float(d.total_energy):+.6e} | "
+            f"KE {float(d.kinetic):.4e} | PE {float(d.potential):.4e} | "
+            f"|p| {float(np.linalg.norm(d.momentum)):.3e} | "
+            f"Lz {float(np.ravel(d.angular_momentum)[-1]):.4e} | "
+            f"{sps:8.1f} steps/s"
+        )
+        if args.metrics:
+            m = system_metrics(sim.state, config)
+            print("  " + " | ".join(
+                f"{k} {float(v):.4g}" for k, v in m.items()))
+        if args.checkpoint_every and int(sim.frame) % args.checkpoint_every == 0:
+            path = f"{args.checkpoint_dir}/ckpt_{int(sim.frame):07d}.npz"
+            save_checkpoint(path, sim.state, config)
+            print(f"  checkpoint -> {path}")
+
+    if args.checkpoint_dir and not args.checkpoint_every:
+        path = f"{args.checkpoint_dir}/ckpt_final.npz"
+        save_checkpoint(path, sim.state, config)
+        print(f"checkpoint -> {path}")
+
+
+def cmd_render(args):
+    from nbodysim_tpu.render.splat import RenderConfig
+    from nbodysim_tpu.render.video import render_rollout, save_png, save_video
+    from nbodysim_tpu.scenes import init_scene
+
+    config = _parse_config(args)
+    state = init_scene(args.scene, config)
+    rc = RenderConfig(
+        width=args.width, height=args.height, scale=args.scale,
+        performance_mode=args.performance_mode,
+        draw_black_hole=not args.no_black_hole,
+    )
+    frames = []
+    t0 = time.perf_counter()
+    for i, frame in enumerate(render_rollout(
+            state, config, args.frames, args.steps_per_frame, rc)):
+        if args.out.endswith((".mp4", ".gif")):
+            frames.append(frame)
+        else:
+            save_png(frame, f"{args.out}/frame_{i:05d}.png")
+        if (i + 1) % 10 == 0:
+            print(f"frame {i+1}/{args.frames} "
+                  f"({(i+1)/(time.perf_counter()-t0):.2f} fps)")
+    if frames:
+        save_video(frames, args.out, fps=args.fps)
+        print(f"wrote {args.out}")
+    else:
+        print(f"wrote {args.frames} PNGs to {args.out}/")
+
+
+def cmd_bench(args):
+    import bench as bench_mod  # repo-root harness
+
+    sys.argv = ["bench.py"] + (["--full"] if args.full else [])
+    bench_mod.main()
+
+
+def cmd_info(args):
+    import jax
+
+    config = _parse_config(args)
+    print("devices:", jax.devices())
+    print("backend:", jax.default_backend())
+    print("config:", json.dumps(
+        {k: str(v) for k, v in vars(config).items()}, indent=2))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="nbodysim-tpu",
+        description="TPU-native N-body simulator (capabilities of "
+                    "7IBBE77S/nbodysim, rebuilt for JAX/Pallas)",
+    )
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="run a simulation headless")
+    _add_common(p_run)
+    p_run.add_argument("--steps", type=int, default=1000)
+    p_run.add_argument("--log-every", type=int, default=100)
+    p_run.add_argument("--metrics", action="store_true",
+                       help="print the reference HUD metrics panel too")
+    p_run.add_argument("--checkpoint-every", type=int, default=0)
+    p_run.add_argument("--checkpoint-dir", default="checkpoints")
+    p_run.add_argument("--resume", default=None, metavar="CKPT")
+    p_run.set_defaults(fn=cmd_run)
+
+    p_r = sub.add_parser("render", help="headless render to frames/video")
+    _add_common(p_r)
+    p_r.add_argument("--out", default="frames",
+                     help="output dir for PNGs, or .mp4/.gif path")
+    p_r.add_argument("--frames", type=int, default=60)
+    p_r.add_argument("--steps-per-frame", type=int, default=10)
+    p_r.add_argument("--width", type=int, default=1200)
+    p_r.add_argument("--height", type=int, default=900)
+    p_r.add_argument("--scale", type=float, default=0.005)
+    p_r.add_argument("--fps", type=int, default=30)
+    p_r.add_argument("--performance-mode", action="store_true")
+    p_r.add_argument("--no-black-hole", action="store_true")
+    p_r.set_defaults(fn=cmd_render)
+
+    p_b = sub.add_parser("bench", help="benchmark harness")
+    p_b.add_argument("--full", action="store_true")
+    p_b.set_defaults(fn=cmd_bench)
+
+    p_i = sub.add_parser("info", help="devices + resolved config")
+    _add_common(p_i)
+    p_i.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from nbodysim_tpu.io.checkpoint import save_checkpoint, load_checkpoint
+
+__all__ = ["save_checkpoint", "load_checkpoint"]

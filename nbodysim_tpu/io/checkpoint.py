@@ -1,0 +1,76 @@
+"""Checkpoint / resume.
+
+The reference has no serialization at all — sim state dies with the process
+(SURVEY.md §5: no file I/O anywhere in project code). Here: the particle SoA
+plus config are written as a single .npz; resume is bitwise-deterministic
+(test_checkpoint.py gates state equality after save/load/step vs
+uninterrupted stepping).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.core.state import ParticleState
+
+_FORMAT_VERSION = 1
+
+
+def save_checkpoint(path: str, state: ParticleState,
+                    config: Optional[SimConfig] = None) -> str:
+    """Write state (+ config) to a .npz checkpoint."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "version": np.int32(_FORMAT_VERSION),
+        "pos": np.asarray(state.pos),
+        "vel": np.asarray(state.vel),
+        "acc": np.asarray(state.acc),
+        "mass": np.asarray(state.mass),
+        "radius": np.asarray(state.radius),
+        "frame": np.asarray(state.frame),
+    }
+    if config is not None:
+        cfg = dataclasses.asdict(config)
+        cfg["dtype"] = np.dtype(config.dtype).name
+        payload["config_json"] = np.frombuffer(
+            json.dumps(cfg).encode(), dtype=np.uint8
+        )
+    np.savez(path, **payload)
+    return path
+
+
+def load_checkpoint(
+    path: str,
+) -> Tuple[ParticleState, Optional[SimConfig]]:
+    """Read a checkpoint; returns (state, config-or-None)."""
+    with np.load(path) as z:
+        version = int(z["version"])
+        if version > _FORMAT_VERSION:
+            raise ValueError(f"checkpoint version {version} is newer than "
+                             f"supported {_FORMAT_VERSION}")
+        state = ParticleState(
+            pos=jnp.asarray(z["pos"]),
+            vel=jnp.asarray(z["vel"]),
+            acc=jnp.asarray(z["acc"]),
+            mass=jnp.asarray(z["mass"]),
+            radius=jnp.asarray(z["radius"]),
+            frame=jnp.asarray(z["frame"]),
+        )
+        config = None
+        if "config_json" in z:
+            cfg = json.loads(bytes(z["config_json"]).decode())
+            dtypes = {
+                "float32": jnp.float32,
+                "float64": jnp.float64,
+                "bfloat16": jnp.bfloat16,
+            }
+            cfg["dtype"] = dtypes[cfg["dtype"]]
+            config = SimConfig(**cfg)
+    return state, config

@@ -1,0 +1,15 @@
+from nbodysim_tpu.render.splat import (
+    render_frame,
+    star_colors,
+    RenderConfig,
+)
+from nbodysim_tpu.render.video import save_png, save_frames, save_video
+
+__all__ = [
+    "render_frame",
+    "star_colors",
+    "RenderConfig",
+    "save_png",
+    "save_frames",
+    "save_video",
+]

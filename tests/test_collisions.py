@@ -1,0 +1,132 @@
+"""Collision pipeline tests against the reference resolve() math
+(Simulation.hpp:293-346)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.core.state import ParticleState
+from nbodysim_tpu.physics.collisions import (
+    _dense_pass,
+    _grid_pass,
+    resolve_collisions,
+)
+
+
+def _cfg(**kw):
+    return SimConfig(**{"force_backend": "xla", **kw})
+
+
+def _state(pos, vel, mass, radius):
+    return ParticleState.create(
+        jnp.asarray(pos, jnp.float32), jnp.asarray(vel, jnp.float32),
+        jnp.asarray(mass, jnp.float32), jnp.asarray(radius, jnp.float32))
+
+
+def _reference_resolve(p1, p2, v1, v2, m1, m2, r1, r2, impulse=1.5):
+    """Literal numpy transcription of resolve() (Simulation.hpp:293-346)."""
+    p1, p2, v1, v2 = map(lambda a: np.array(a, np.float64), (p1, p2, v1, v2))
+    d = p2 - p1
+    r = r1 + r2
+    if (d @ d) > r * r:
+        return p1, p2, v1, v2
+    v = v2 - v1
+    d_dot_v = d @ v
+    w1 = m2 / (m1 + m2)
+    w2 = m1 / (m1 + m2)
+    if d_dot_v >= 0.0 and not np.allclose(d, 0):
+        tmp = d * (r / np.sqrt(d @ d) - 1.0)
+        return p1 - tmp * w1, p2 + tmp * w2, v1, v2
+    v_sq = v @ v
+    disc = max(d_dot_v ** 2 - v_sq * ((d @ d) - r * r), 0.0)
+    t = (d_dot_v + np.sqrt(disc)) / v_sq
+    p1r = p1 - v1 * t
+    p2r = p2 - v2 * t
+    dn = p2r - p1r
+    tmp = dn * (impulse * (dn @ v) / (dn @ dn))
+    v1n = v1 + tmp * w1
+    v2n = v2 - tmp * w2
+    return p1r + v1n * t, p2r + v2n * t, v1n, v2n
+
+
+@pytest.mark.parametrize("case", [
+    # (p1, p2, v1, v2, m1, m2, r1, r2)
+    ([0., 0.], [1.5, 0.], [1., 0.], [-1., 0.], 1., 1., 1., 1.),      # head-on
+    ([0., 0.], [1.0, 0.5], [2., 0.3], [-1., -0.2], 2., 5., 1., 0.8), # oblique
+    ([0., 0.], [1.2, 0.], [-1., 0.], [1., 0.], 1., 3., 1., 0.5),     # separating overlap
+    ([0., 0.], [0.5, 0.5], [0., 0.], [0., 0.], 1., 1., 1., 1.),      # static overlap
+])
+def test_pair_matches_reference_resolve(case):
+    """A single overlapping pair must reproduce resolve() exactly (the
+    Jacobi pass on one pair IS the sequential algorithm)."""
+    p1, p2, v1, v2, m1, m2, r1, r2 = case
+    state = _state([p1, p2], [v1, v2], [m1, m2], [r1, r2])
+    out = _dense_pass(state, _cfg())
+
+    e_p1, e_p2, e_v1, e_v2 = _reference_resolve(p1, p2, v1, v2, m1, m2, r1, r2)
+    np.testing.assert_allclose(np.asarray(out.pos[0]), e_p1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.pos[1]), e_p2, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel[0]), e_v1, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel[1]), e_v2, atol=1e-5)
+
+
+def test_non_overlapping_untouched():
+    state = _state([[0., 0.], [10., 0.]], [[1., 0.], [-1., 0.]],
+                   [1., 1.], [1., 1.])
+    out = _dense_pass(state, _cfg())
+    np.testing.assert_array_equal(np.asarray(out.pos), np.asarray(state.pos))
+    np.testing.assert_array_equal(np.asarray(out.vel), np.asarray(state.vel))
+
+
+def test_momentum_conserved_many_body():
+    import jax
+
+    k = jax.random.PRNGKey(3)
+    k1, k2, k3 = jax.random.split(k, 3)
+    n = 200
+    pos = jax.random.uniform(k1, (n, 2), jnp.float32, -10.0, 10.0)  # dense
+    vel = jax.random.uniform(k2, (n, 2), jnp.float32, -5.0, 5.0)
+    mass = jax.random.uniform(k3, (n,), jnp.float32, 0.5, 2.0)
+    state = ParticleState.create(pos, vel, mass, jnp.full((n,), 0.7))
+
+    out = _dense_pass(state, _cfg())
+    p0 = np.asarray(jnp.sum(state.mass[:, None] * state.vel, axis=0))
+    p1 = np.asarray(jnp.sum(out.mass[:, None] * out.vel, axis=0))
+    np.testing.assert_allclose(p1, p0, atol=np.abs(p0).max() * 1e-3 + 1e-2)
+
+
+def test_grid_pass_matches_dense():
+    """The sorted-spatial-hash broad phase must find the same pairs as the
+    dense test when no bucket overflows."""
+    import jax
+
+    k = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(k, 3)
+    n = 300
+    # Spread over several collision cells (cell size 600).
+    pos = jax.random.uniform(k1, (n, 2), jnp.float32, -2000.0, 2000.0)
+    vel = jax.random.uniform(k2, (n, 2), jnp.float32, -50.0, 50.0)
+    mass = jax.random.uniform(k3, (n,), jnp.float32, 0.5, 2.0)
+    radius = jnp.full((n,), 20.0)
+    state = ParticleState.create(pos, vel, mass, radius)
+
+    cfg = _cfg(collision_max_neighbors=32)
+    dense = _dense_pass(state, cfg)
+    grid = _grid_pass(state, cfg)
+    np.testing.assert_allclose(
+        np.asarray(grid.pos), np.asarray(dense.pos), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(grid.vel), np.asarray(dense.vel), atol=1e-4)
+
+
+def test_resolve_collisions_dispatch():
+    state = _state([[0., 0.], [1.5, 0.]], [[1., 0.], [-1., 0.]],
+                   [1., 1.], [1., 1.])
+    out = resolve_collisions(state, _cfg())
+    # Head-on equal-mass with impulse 1.5: relative velocity scales by -0.5.
+    np.testing.assert_allclose(np.asarray(out.vel[0]), [-0.5, 0.0], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.vel[1]), [0.5, 0.0], atol=1e-5)
+
+    out2 = resolve_collisions(state, _cfg(enable_collisions=False))
+    np.testing.assert_array_equal(np.asarray(out2.vel), np.asarray(state.vel))
