@@ -109,11 +109,13 @@ def cmd_run(args):
             m = system_metrics(sim.state, config)
             print("  " + " | ".join(
                 f"{k} {float(v):.4g}" for k, v in m.items()))
+        ck_dir = args.checkpoint_dir or "checkpoints"
         if args.checkpoint_every and int(sim.frame) % args.checkpoint_every == 0:
-            path = f"{args.checkpoint_dir}/ckpt_{int(sim.frame):07d}.npz"
+            path = f"{ck_dir}/ckpt_{int(sim.frame):07d}.npz"
             save_checkpoint(path, sim.state, config)
             print(f"  checkpoint -> {path}")
 
+    # A final checkpoint is written only when checkpointing was requested.
     if args.checkpoint_dir and not args.checkpoint_every:
         path = f"{args.checkpoint_dir}/ckpt_final.npz"
         save_checkpoint(path, sim.state, config)
@@ -182,7 +184,7 @@ def main(argv=None):
     p_run.add_argument("--metrics", action="store_true",
                        help="print the reference HUD metrics panel too")
     p_run.add_argument("--checkpoint-every", type=int, default=0)
-    p_run.add_argument("--checkpoint-dir", default="checkpoints")
+    p_run.add_argument("--checkpoint-dir", default=None)
     p_run.add_argument("--resume", default=None, metavar="CKPT")
     p_run.set_defaults(fn=cmd_run)
 

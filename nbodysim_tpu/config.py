@@ -62,8 +62,12 @@ class SimConfig:
     force_block_targets: int = 256
     force_block_sources: int = 2048
 
-    # Barnes-Hut / multilevel grid backend (physics/barneshut.py)
-    bh_levels: int = 8
+    # Barnes-Hut / multilevel grid backend (physics/barneshut.py).
+    # bh_levels <= 0 means auto (finest grid ~1 particle/cell).
+    # bh_accept_radius: near Chebyshev radius R; accept cells at cheb >= R.
+    # R=2 ~ theta 1 (reference fidelity); R=3 ~ theta 0.5 (tighter).
+    bh_levels: int = 0
+    bh_accept_radius: int = 2
 
     # Numerics
     dtype: Any = jnp.float32

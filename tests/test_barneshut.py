@@ -1,0 +1,89 @@
+"""Multilevel-grid Barnes-Hut backend tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import nbodysim_tpu as nb
+from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.physics.barneshut import bh_accelerations, _build_pyramid
+from nbodysim_tpu.physics.forces import direct_accelerations
+
+
+def _system(n, span=1000.0, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    pos = jax.random.uniform(k1, (n, 2), jnp.float32, -span, span)
+    mass = jax.random.uniform(k2, (n,), jnp.float32, 0.1, 10.0)
+    return pos, mass
+
+
+def test_pyramid_mass_conservation():
+    pos, mass = _system(1000)
+    grids, corner, size, ci, flat = _build_pyramid(pos, mass, 5)
+    total = float(jnp.sum(mass))
+    for l in range(6):
+        np.testing.assert_allclose(
+            float(jnp.sum(grids[l][0])), total, rtol=1e-5)
+    # COM of root cell = global COM
+    m, wx, wy = grids[0]
+    com = np.array([float(wx[0, 0] / m[0, 0]), float(wy[0, 0] / m[0, 0])])
+    expected = np.asarray(
+        jnp.sum(mass[:, None] * pos, axis=0) / jnp.sum(mass))
+    np.testing.assert_allclose(com, expected, rtol=1e-4)
+
+
+@pytest.mark.parametrize("radius,tol_median", [(2, 0.03), (3, 0.01)])
+def test_bh_accuracy_uniform(radius, tol_median):
+    pos, mass = _system(4096)
+    cfg = SimConfig(n=4096, bh_levels=6, bh_accept_radius=radius,
+                    force_backend="bh")
+    a_bh = np.asarray(bh_accelerations(pos, mass, cfg))
+    a_dir = np.asarray(direct_accelerations(pos, mass, eps_sq=1.0))
+    err = np.linalg.norm(a_bh - a_dir, axis=1) / (
+        np.linalg.norm(a_dir, axis=1) + 1e-12)
+    assert np.median(err) < tol_median, np.median(err)
+
+
+def test_bh_accuracy_clustered_disc():
+    """Clustered scene (central body dominates): BH must stay accurate."""
+    cfg_scene = SimConfig(n=2048, force_backend="xla")
+    state = nb.init_scene("uniform_disc", cfg_scene)
+    cfg = SimConfig(n=2048, force_backend="bh")
+    a_bh = np.asarray(bh_accelerations(state.pos, state.mass, cfg))
+    a_dir = np.asarray(
+        direct_accelerations(state.pos, state.mass, eps_sq=1.0))
+    err = np.linalg.norm(a_bh - a_dir, axis=1) / (
+        np.linalg.norm(a_dir, axis=1) + 1e-12)
+    assert np.median(err) < 1e-3
+
+
+def test_bh_newton_third_law_approx():
+    """Momentum conservation holds approximately (cell asymmetries break
+    exact antisymmetry, but the residual must be small)."""
+    pos, mass = _system(2048)
+    cfg = SimConfig(n=2048, force_backend="bh")
+    acc = np.asarray(bh_accelerations(pos, mass, cfg))
+    net = np.abs((np.asarray(mass)[:, None] * acc).sum(0))
+    gross = np.abs(np.asarray(mass)[:, None] * acc).sum()
+    assert (net / gross < 5e-3).all()
+
+
+def test_bh_backend_dispatch():
+    """force_backend='bh' must flow through compute_accelerations and
+    the integrator."""
+    from nbodysim_tpu.physics.integrators import make_step
+
+    cfg = SimConfig(n=256, force_backend="bh", enable_collisions=False)
+    state = nb.init_scene("uniform_disc", cfg)
+    out = make_step(cfg)(state)
+    assert np.all(np.isfinite(np.asarray(out.pos)))
+    assert int(out.frame) == 1
+
+
+def test_bh_3d_rejected():
+    cfg = SimConfig(n=16, dim=3, force_backend="bh")
+    pos = jnp.zeros((16, 3))
+    mass = jnp.ones((16,))
+    with pytest.raises(NotImplementedError):
+        bh_accelerations(pos, mass, cfg)
