@@ -65,9 +65,10 @@ class SimConfig:
     # Barnes-Hut / multilevel grid backend (physics/barneshut.py).
     # bh_levels <= 0 means auto (finest grid ~1 particle/cell).
     # bh_accept_radius: near Chebyshev radius R; accept cells at cheb >= R.
-    # R=2 ~ theta 1 (reference fidelity); R=3 ~ theta 0.5 (tighter).
+    # R=2 ~ theta 1 (reference fidelity); R=3 ~ theta 0.5 (default: ~1e-2
+    # field error, and heavy point masses are handled exactly regardless).
     bh_levels: int = 0
-    bh_accept_radius: int = 2
+    bh_accept_radius: int = 3
 
     # Numerics
     dtype: Any = jnp.float32

