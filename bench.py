@@ -96,6 +96,15 @@ def main():
             "unit": "pairs/s",
             "vs_baseline": rate_1m / BASELINE_PAIRS_PER_SEC,
         }))
+        from nbodysim_tpu.diagnostics.profiling import measure_force_throughput
+
+        bh = measure_force_throughput(1 << 20, backend="bh", reps=3)
+        print(json.dumps({
+            "metric": "FMM tree-code pairs-equivalent/sec/chip (N=1M)",
+            "value": bh["pairs_per_second"],
+            "unit": "pairs-equiv/s",
+            "vs_baseline": bh["pairs_per_second"] / BASELINE_PAIRS_PER_SEC,
+        }))
 
 
 if __name__ == "__main__":

@@ -133,6 +133,8 @@ def cmd_render(args):
         width=args.width, height=args.height, scale=args.scale,
         performance_mode=args.performance_mode,
         draw_black_hole=not args.no_black_hole,
+        show_quadtree=args.show_quadtree,
+        show_connections=args.show_connections,
     )
     frames = []
     t0 = time.perf_counter()
@@ -200,6 +202,10 @@ def main(argv=None):
     p_r.add_argument("--fps", type=int, default=30)
     p_r.add_argument("--performance-mode", action="store_true")
     p_r.add_argument("--no-black-hole", action="store_true")
+    p_r.add_argument("--show-quadtree", action="store_true",
+                     help="quadtree wireframe overlay (reference Q toggle)")
+    p_r.add_argument("--show-connections", action="store_true",
+                     help="neighbor connection overlay (reference C toggle)")
     p_r.set_defaults(fn=cmd_render)
 
     p_b = sub.add_parser("bench", help="benchmark harness")

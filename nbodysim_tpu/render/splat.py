@@ -55,6 +55,8 @@ class RenderConfig:
     performance_mode: bool = False   # white splats (main.cpp:745-790)
     draw_black_hole: bool = True
     exposure: float = 1.0      # tone-map divisor scale on accumulated light
+    show_quadtree: bool = False      # Q toggle (main.cpp:678-681)
+    show_connections: bool = False   # C toggle (main.cpp:682-685)
 
     def replace(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
@@ -185,4 +187,15 @@ def render_frame(
         bh_radius = jnp.maximum(2.0, state.radius[c] * rc.scale)
         frame = _black_hole_layer(frame, bh_screen, bh_radius, w, h)
 
-    return jnp.clip(frame, 0.0, 255.0).astype(jnp.uint8)
+    frame = jnp.clip(frame, 0.0, 255.0).astype(jnp.uint8)
+
+    if rc.show_connections:
+        from nbodysim_tpu.render.overlays import connections_overlay
+
+        frame = connections_overlay(frame, state, rc.scale, rc.center)
+    if rc.show_quadtree:
+        from nbodysim_tpu.render.overlays import quadtree_overlay
+
+        frame = quadtree_overlay(frame, state, rc.scale, rc.center)
+
+    return frame
