@@ -1,0 +1,116 @@
+"""Interactive viewer — the reference's raylib window, on matplotlib.
+
+The reference app (main.cpp:637-958) is an interactive window with keyboard
+controls. On a TPU host there is usually no display, so the CLI is the
+primary surface; this viewer exists for workstations with one. It mirrors
+the reference's key map (main.cpp:674-724):
+
+  Space  pause/resume            q  quadtree overlay
+  c      connections overlay     v  hide bodies
+  p      performance mode        t / y  dt x1.5 / x0.666
+  w a s d  pan                   r / f  zoom in/out
+
+Frames are rendered on device (render/splat.py) and blitted as images, so
+the window only ever receives uint8 RGB arrays — the host never touches
+particle data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from nbodysim_tpu.api import Simulation
+from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.render.splat import RenderConfig, render_frame
+
+
+class Viewer:
+    def __init__(
+        self,
+        config: SimConfig | None = None,
+        scene: str = "uniform_disc",
+        render_config: RenderConfig | None = None,
+        steps_per_frame: int = 5,
+    ):
+        self.sim = Simulation(config or SimConfig(), scene=scene)
+        self.rc = render_config or RenderConfig(scale=0.005, width=900,
+                                                height=675)
+        self.steps_per_frame = steps_per_frame
+        self.paused = False
+        self.show_bodies = True
+        self._pan = np.array(self.rc.center, np.float64)
+
+    # -- control handlers (reference key map) ---------------------------
+
+    def on_key(self, key: str) -> None:
+        rc = self.rc
+        pan_step = 30.0 / rc.scale
+        if key == " ":
+            self.paused = not self.paused
+        elif key == "q":
+            self.rc = rc.replace(show_quadtree=not rc.show_quadtree)
+        elif key == "c":
+            self.rc = rc.replace(show_connections=not rc.show_connections)
+        elif key == "v":
+            self.show_bodies = not self.show_bodies
+        elif key == "p":
+            self.rc = rc.replace(performance_mode=not rc.performance_mode)
+        elif key == "t":
+            self.sim.set_dt(min(self.sim.dt * 1.5, 0.1))
+        elif key == "y":
+            self.sim.set_dt(self.sim.dt * 0.666)
+        elif key == "w":
+            self._pan[1] -= pan_step
+        elif key == "s":
+            self._pan[1] += pan_step
+        elif key == "a":
+            self._pan[0] -= pan_step
+        elif key == "d":
+            self._pan[0] += pan_step
+        elif key == "r":
+            self.rc = rc.replace(scale=rc.scale * 1.25)
+        elif key == "f":
+            self.rc = rc.replace(scale=rc.scale * 0.8)
+        self.rc = self.rc.replace(center=tuple(self._pan))
+
+    def frame(self) -> np.ndarray:
+        """Advance (unless paused) and return the next uint8 RGB frame."""
+        if not self.paused:
+            self.sim.run(self.steps_per_frame)
+        if not self.show_bodies:
+            return np.zeros((self.rc.height, self.rc.width, 3), np.uint8)
+        return np.asarray(render_frame(self.sim.state, self.rc))
+
+    def hud_text(self) -> str:
+        d = self.sim.diagnostics()
+        return (
+            f"bodies {self.sim.state.n} | frame {self.sim.frame} | "
+            f"dt {self.sim.dt:.3f} | E {float(d.total_energy):.3e} | "
+            f"{'PAUSED' if self.paused else 'RUNNING'}"
+        )
+
+    # -- matplotlib loop ------------------------------------------------
+
+    def show(self, interval_ms: int = 33):
+        """Open the interactive window (requires a display)."""
+        import matplotlib.pyplot as plt
+        from matplotlib.animation import FuncAnimation
+
+        fig, ax = plt.subplots(figsize=(9, 7))
+        fig.canvas.manager.set_window_title("N-Body Simulation (TPU)")
+        im = ax.imshow(self.frame())
+        title = ax.set_title(self.hud_text(), fontsize=9)
+        ax.set_axis_off()
+
+        fig.canvas.mpl_connect(
+            "key_press_event", lambda ev: self.on_key(ev.key or ""))
+
+        def update(_):
+            im.set_data(self.frame())
+            title.set_text(self.hud_text())
+            return [im, title]
+
+        anim = FuncAnimation(fig, update, interval=interval_ms,
+                             cache_frame_data=False)
+        plt.show()
+        return anim

@@ -1,0 +1,68 @@
+"""Viewer controls (headless) and the energy-drift gate (CPU-sized)."""
+
+import numpy as np
+import pytest
+
+import nbodysim_tpu as nb
+
+
+def test_viewer_controls_headless():
+    """Exercise the reference key map without a display."""
+    from nbodysim_tpu.app.viewer import Viewer
+    from nbodysim_tpu.render.splat import RenderConfig
+
+    v = Viewer(
+        nb.SimConfig(n=128, force_backend="xla"),
+        render_config=RenderConfig(width=96, height=96, scale=0.01),
+        steps_per_frame=1,
+    )
+    f0 = v.frame()
+    assert f0.shape == (96, 96, 3) and f0.max() > 0
+    frame_before = v.sim.frame
+
+    v.on_key(" ")            # pause
+    v.frame()
+    assert v.sim.frame == frame_before, "paused viewer still stepped"
+    v.on_key(" ")            # resume
+    v.frame()
+    assert v.sim.frame == frame_before + 1
+
+    v.on_key("t")            # dt * 1.5
+    assert v.sim.dt == pytest.approx(0.015)
+    v.on_key("y")
+    assert v.sim.dt == pytest.approx(0.015 * 0.666)
+
+    v.on_key("r")            # zoom
+    assert v.rc.scale == pytest.approx(0.0125)
+    v.on_key("d")            # pan
+    assert v.rc.center[0] != 0.0
+
+    v.on_key("q")
+    assert v.rc.show_quadtree
+    v.on_key("v")            # vanish
+    assert v.frame().max() == 0
+    assert "PAUSED" not in v.hud_text()
+
+
+def test_energy_drift_gate_small():
+    """|dE/E| <= 1e-4 over 2k leapfrog steps on a small Plummer sphere
+    (the 10k-step full gate runs on TPU via scripts/drift_gate.py)."""
+    from nbodysim_tpu.diagnostics.metrics import diagnostics
+    from nbodysim_tpu.physics.integrators import make_rollout, prime_accelerations
+
+    cfg = nb.SimConfig(
+        n=512, dt=0.5, softening=10.0, integrator="leapfrog_kdk",
+        enable_collisions=False, enable_boundary=False,
+        enable_velocity_clamp=False, force_backend="xla",
+    )
+    state = nb.init_scene("plummer", cfg, total_mass=1e4, scale_radius=1000.0)
+    state = prime_accelerations(state, cfg)
+    e0 = float(diagnostics(state, cfg).total_energy)
+
+    roll = make_rollout(cfg, 500)
+    worst = 0.0
+    for _ in range(4):
+        state = roll(state)
+        e = float(diagnostics(state, cfg).total_energy)
+        worst = max(worst, abs(e - e0) / abs(e0))
+    assert worst < 1e-4, f"drift {worst:.3e} over 2000 steps"
