@@ -53,6 +53,7 @@ class SimConfig:
     collision_impulse: float = 1.5       # resolve() impulse factor, hpp:338
     collision_iterations: int = 1        # Jacobi sweeps per step (1 = ref-like)
     collision_max_neighbors: int = 16    # grid bucket capacity at large N
+    collision_grid_res: int = 512        # bucket grid cells/axis (2D path)
 
     # Force backend: "auto" | "pallas" | "xla" | "bh" (Barnes-Hut)
     force_backend: str = "auto"

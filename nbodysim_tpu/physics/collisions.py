@@ -50,7 +50,7 @@ from jax import lax
 from nbodysim_tpu.config import SimConfig
 from nbodysim_tpu.core.state import ParticleState
 
-DENSE_THRESHOLD = 8192
+DENSE_THRESHOLD = 65536
 
 
 def _pair_deltas(
@@ -98,21 +98,60 @@ def _pair_deltas(
 
 
 def _dense_pass(state: ParticleState, config: SimConfig) -> ParticleState:
-    """O(N^2) masked Jacobi collision pass (small/medium N)."""
+    """Exact O(N^2) masked Jacobi collision pass, blocked over both axes.
+
+    Pure VPU broadcast work with no sort/scatter/gather: on TPU this beats
+    every broad-phase scheme up to N ~ 64k (25k: ~625M pair tests of ~40
+    elementwise ops each — less wall-clock than building a grid). Blocked
+    so temps stay <= [1024, 4096]; self-pairs are no-ops in the pair math
+    (d = v = 0), so no identity mask is needed.
+    """
     pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
-    n = pos.shape[0]
+    n, dim = pos.shape
+    bs_t = min(n, 1024)
+    bs_s = min(n, 4096)
+    nb_t = -(-n // bs_t)
+    nb_s = -(-n // bs_s)
 
-    d = pos[None, :, :] - pos[:, None, :]          # [i, j, D] = x_j - x_i
-    v = vel[None, :, :] - vel[:, None, :]
-    msum = mass[:, None] + mass[None, :]
-    w1 = mass[None, :] / msum                       # m_j / (m_i + m_j)
-    r = radius[:, None] + radius[None, :]
-    not_self = ~jnp.eye(n, dtype=bool)
+    def padchop(a, size, blocks):
+        a = jnp.pad(a, ((0, blocks * size - a.shape[0]),)
+                    + ((0, 0),) * (a.ndim - 1))
+        return a.reshape((blocks, size) + a.shape[1:])
 
-    dpos, dvel = _pair_deltas(d, v, w1, r, not_self, config.collision_impulse)
+    tp = padchop(pos, bs_t, nb_t)
+    tv = padchop(vel, bs_t, nb_t)
+    tm = padchop(mass, bs_t, nb_t)
+    tr = padchop(radius, bs_t, nb_t)
+    sp = padchop(pos, bs_s, nb_s)
+    sv = padchop(vel, bs_s, nb_s)
+    sm = padchop(mass, bs_s, nb_s)   # zero-padded -> padded sources inert
+    sr = padchop(radius, bs_s, nb_s)
+
+    def one_tgt(args):
+        tpb, tvb, tmb, trb = args
+
+        def one_src(carry, sargs):
+            spb, svb, smb, srb = sargs
+            d = spb[None, :, :] - tpb[:, None, :]
+            v = svb[None, :, :] - tvb[:, None, :]
+            msum = tmb[:, None] + smb[None, :]
+            w1 = smb[None, :] / jnp.where(msum > 0, msum, 1.0)
+            r = trb[:, None] + srb[None, :]
+            valid = smb[None, :] > 0
+            dpos, dvel = _pair_deltas(
+                d, v, w1, r, valid, config.collision_impulse)
+            return (carry[0] + jnp.sum(dpos, axis=1),
+                    carry[1] + jnp.sum(dvel, axis=1)), None
+
+        init = (jnp.zeros((bs_t, dim), pos.dtype),
+                jnp.zeros((bs_t, dim), pos.dtype))
+        (dp, dv), _ = lax.scan(one_src, init, (sp, sv, sm, sr))
+        return dp, dv
+
+    dp, dv = lax.map(one_tgt, (tp, tv, tm, tr))
     return state.replace(
-        pos=pos + jnp.sum(dpos, axis=1),
-        vel=vel + jnp.sum(dvel, axis=1),
+        pos=pos + dp.reshape(nb_t * bs_t, dim)[:n],
+        vel=vel + dv.reshape(nb_t * bs_t, dim)[:n],
     )
 
 
@@ -203,11 +242,267 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     return state.replace(pos=new_pos_s[inv], vel=new_vel_s[inv])
 
 
+# ---------------------------------------------------------------------------
+# Dense-bucket broad phase (large N, 2D): the fast TPU path
+# ---------------------------------------------------------------------------
+
+_OVERFLOW_CAP = 4096
+
+
+def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:
+    """Shift-stencil collision pass on a dense [res, res, K] bucket grid.
+
+    The per-particle gather-window broad phase (_grid_pass) is
+    HBM-gather-bound on TPU (~137 ms at N=25k); this formulation — the same
+    architecture as the FMM near field (physics/barneshut.py) — keeps all
+    pair work as dense K x K broadcast blocks between a cell and its 9
+    statically-shifted neighbors. 2D only (3D falls back to _grid_pass).
+
+    Grid: the particle bounding box at a static resolution
+    (config.collision_grid_res per axis), so cells track the actual particle
+    span instead of the reference's fixed 600-unit cells — same physics
+    (cell size only selects which pairs get the exact overlap test), far
+    less clustering overflow on curve-like ICs.
+
+    Exactness safeguards:
+      * big bodies (radius > cell/2, e.g. the 200-radius central mass) can
+        overlap across non-adjacent cells, so the top-64 radii above that
+        threshold are pulled out of the grid and coupled to everything by
+        exact blocked pair passes;
+      * cells overflowing the K-slot cap spill into a compact exact
+        residual (lax.cond-gated).
+    """
+    pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
+    n = pos.shape[0]
+    cap = config.collision_max_neighbors
+    res = config.collision_grid_res
+
+    mn = jnp.min(pos, axis=0)
+    mx = jnp.max(pos, axis=0)
+    span = jnp.maximum(jnp.max(mx - mn), 1e-3) * 1.0001
+    corner = 0.5 * (mn + mx) - 0.5 * span
+
+    # Big bodies: overlap reach r_i + r_j can exceed a cell; a pair of
+    # small bodies (each <= cell/2) cannot. The cell size is floored at
+    # 2.05x the 65th-largest radius so that at most 64 bodies can qualify
+    # as big — the exact big-pair passes then cover them regardless of how
+    # the radius distribution relates to the grid resolution.
+    k_big = min(64, n)
+    top_r, top_i = lax.top_k(radius, min(k_big + 1, n))
+    cell_size = jnp.maximum(span / res, 2.05 * top_r[min(k_big, n - 1)])
+    big_sel = top_r[:k_big] > 0.5 * cell_size
+    top_i = top_i[:k_big]
+    is_big = jnp.zeros((n,), bool).at[top_i].set(big_sel)
+
+    cell = jnp.clip(((pos - corner) / cell_size).astype(jnp.int32),
+                    0, res - 1)                                    # [N, 2]
+    flat = cell[:, 0] * res + cell[:, 1]
+
+    order = jnp.argsort(flat)
+    flat_s = flat[order]
+    first = jnp.searchsorted(flat_s, flat_s, side="left")
+    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    big_s = is_big[order]
+    in_cap = (slot < cap) & ~big_s
+    overflow = jnp.sum(~in_cap & ~big_s)
+
+    pos_s, vel_s = pos[order], vel[order]
+    mass_s, radius_s = mass[order], radius[order]
+    cell_s = cell[order]
+
+    def scatter(vals, fill=0.0):
+        buf = jnp.full((res * res, cap), fill, pos.dtype)
+        slot_w = jnp.where(in_cap, slot, cap)
+        return buf.at[flat_s, slot_w].set(vals, mode="drop").reshape(
+            res, res, cap)
+
+    bpx = scatter(pos_s[:, 0])
+    bpy = scatter(pos_s[:, 1])
+    bvx = scatter(vel_s[:, 0])
+    bvy = scatter(vel_s[:, 1])
+    bm = scatter(jnp.where(in_cap, mass_s, 0.0))
+    br = scatter(radius_s, fill=-1e9)   # empty slots can never overlap
+
+    offsets = jnp.array(
+        [(ox, oy) for ox in (-1, 0, 1) for oy in (-1, 0, 1)], jnp.int32)
+
+    def pad(a, fill=0.0):
+        return jnp.pad(a, ((1, 1), (1, 1), (0, 0)), constant_values=fill)
+
+    bpx_p, bpy_p = pad(bpx), pad(bpy)
+    bvx_p, bvy_p = pad(bvx), pad(bvy)
+    bm_p, br_p = pad(bm), pad(br, fill=-1e9)
+
+    chunk = max(1, min(res, (1 << 24) // max(1, res * cap * cap)))
+    while res % chunk:
+        chunk -= 1
+    n_chunks = res // chunk
+
+    def body(carry, o):
+        adx, ady, avx, avy = carry
+        start = (1 + o[0], 1 + o[1], 0)
+        spx = lax.dynamic_slice(bpx_p, start, (res, res, cap))
+        spy = lax.dynamic_slice(bpy_p, start, (res, res, cap))
+        svx = lax.dynamic_slice(bvx_p, start, (res, res, cap))
+        svy = lax.dynamic_slice(bvy_p, start, (res, res, cap))
+        sm = lax.dynamic_slice(bm_p, start, (res, res, cap))
+        sr = lax.dynamic_slice(br_p, start, (res, res, cap))
+
+        def chunk_fn(args):
+            tpx, tpy, tvx, tvy, tm, tr, cpx, cpy, cvx, cvy, cm, cr = args
+            d = jnp.stack(
+                [cpx[:, :, None, :] - tpx[:, :, :, None],
+                 cpy[:, :, None, :] - tpy[:, :, :, None]], axis=-1)
+            v = jnp.stack(
+                [cvx[:, :, None, :] - tvx[:, :, :, None],
+                 cvy[:, :, None, :] - tvy[:, :, :, None]], axis=-1)
+            msum = tm[:, :, :, None] + cm[:, :, None, :]
+            w1 = cm[:, :, None, :] / jnp.where(msum > 0, msum, 1.0)
+            r = tr[:, :, :, None] + cr[:, :, None, :]
+            # Empty source slots carry mass 0 and radius -1e9 -> r < 0 ->
+            # no overlap; self-pairs have d = v = 0 -> no-op in both
+            # branches of the pair math.
+            valid = (cm[:, :, None, :] > 0) & (tm[:, :, :, None] > 0)
+            dpos, dvel = _pair_deltas(
+                d, v, w1, r, valid, config.collision_impulse)
+            return (jnp.sum(dpos[..., 0], axis=-1),
+                    jnp.sum(dpos[..., 1], axis=-1),
+                    jnp.sum(dvel[..., 0], axis=-1),
+                    jnp.sum(dvel[..., 1], axis=-1))
+
+        def chop(a):
+            return a.reshape(n_chunks, chunk, res, cap)
+
+        dx, dy, dvx_, dvy_ = lax.map(
+            chunk_fn,
+            tuple(chop(a) for a in
+                  (bpx, bpy, bvx, bvy, bm, br, spx, spy, svx, svy, sm, sr)))
+        return (adx + dx.reshape(res, res, cap),
+                ady + dy.reshape(res, res, cap),
+                avx + dvx_.reshape(res, res, cap),
+                avy + dvy_.reshape(res, res, cap)), None
+
+    zeros = jnp.zeros((res, res, cap), pos.dtype)
+    (adx, ady, avx, avy), _ = lax.scan(
+        body, (zeros, zeros, zeros, zeros), offsets)
+
+    slot_c = jnp.minimum(slot, cap - 1)
+
+    def gather(buf):
+        return jnp.where(in_cap, buf.reshape(res * res, cap)[flat_s, slot_c],
+                         0.0)
+
+    dpos_s = jnp.stack([gather(adx), gather(ady)], axis=-1)
+    dvel_s = jnp.stack([gather(avx), gather(avy)], axis=-1)
+
+    # -- exact pair passes used by the big-body and overflow corrections --
+
+    def pair_block(tgt, src, use_cheb):
+        (tp, tv, tm, tr, tc) = tgt
+        (sp, sv, sm_, sr_, sc) = src
+        d = sp[None, :, :] - tp[:, None, :]
+        v = sv[None, :, :] - tv[:, None, :]
+        msum = tm[:, None] + sm_[None, :]
+        w1 = sm_[None, :] / jnp.where(msum > 0, msum, 1.0)
+        r = tr[:, None] + sr_[None, :]
+        valid = (sm_[None, :] > 0) & (tm[:, None] > 0)
+        if use_cheb:
+            cheb = jnp.max(jnp.abs(sc[None, :, :] - tc[:, None, :]), axis=-1)
+            valid = valid & (cheb <= 1)
+        return _pair_deltas(d, v, w1, r, valid, config.collision_impulse)
+
+    def blocked_pairs(tgt, src, use_cheb=True):
+        """Pair deltas blocked on BOTH axes (temps <= [2048, 2048])."""
+        t = tgt[0].shape[0]
+        s = src[0].shape[0]
+        bs_t, bs_s = min(t, 2048), min(s, 2048)
+        nb_t, nb_s = -(-t // bs_t), -(-s // bs_s)
+
+        def padchop(arrs, size, blocks):
+            out = []
+            for a in arrs:
+                a = jnp.pad(
+                    a, ((0, blocks * size - a.shape[0]),)
+                    + ((0, 0),) * (a.ndim - 1))
+                out.append(a.reshape((blocks, size) + a.shape[1:]))
+            return tuple(out)
+
+        tgt_c = padchop(tgt, bs_t, nb_t)
+        src_c = padchop(src, bs_s, nb_s)
+
+        def one_tgt(tgt_blk):
+            def one_src(carry, src_blk):
+                dpos, dvel = pair_block(tgt_blk, src_blk, use_cheb)
+                return (carry[0] + jnp.sum(dpos, axis=1),
+                        carry[1] + jnp.sum(dvel, axis=1)), None
+
+            init = (jnp.zeros((bs_t, 2), pos.dtype),
+                    jnp.zeros((bs_t, 2), pos.dtype))
+            (dp, dv), _ = lax.scan(one_src, init, src_c)
+            return dp, dv
+
+        dp, dv = lax.map(one_tgt, tgt_c)
+        return (dp.reshape(nb_t * bs_t, 2)[:t],
+                dv.reshape(nb_t * bs_t, 2)[:t])
+
+    everyone = (pos_s, vel_s, mass_s, radius_s, cell_s)
+
+    # -- big bodies: exact, unmasked by cells (they reach across cells) --
+    big_src = (pos[top_i], vel[top_i],
+               jnp.where(big_sel, mass[top_i], 0.0),
+               radius[top_i], cell[top_i])
+    dp_b1, dv_b1 = blocked_pairs(everyone, big_src, use_cheb=False)
+    dpos_s = dpos_s + dp_b1
+    dvel_s = dvel_s + dv_b1
+    small_src = (pos_s, vel_s, jnp.where(big_s, 0.0, mass_s),
+                 radius_s, cell_s)
+    dp_b2, dv_b2 = blocked_pairs(big_src, small_src, use_cheb=False)
+    big_upd = jnp.where(big_sel[:, None], dp_b2, 0.0)
+    big_updv = jnp.where(big_sel[:, None], dv_b2, 0.0)
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+    # top_i indexes the ORIGINAL order; convert to sorted indices.
+    top_sorted = inv[top_i]
+    dpos_s = dpos_s.at[top_sorted].add(big_upd)
+    dvel_s = dvel_s.at[top_sorted].add(big_updv)
+
+    # -- overflow residual (small particles beyond the slot cap) --------
+    m_cap = min(n, _OVERFLOW_CAP)
+
+    def residual(args):
+        dpos_s, dvel_s = args
+        keep = in_cap | big_s           # NOT overflow-small
+        o_idx = jnp.argsort(keep)[:m_cap]
+        o_valid = ~keep[o_idx]
+        o = (pos_s[o_idx], vel_s[o_idx],
+             jnp.where(o_valid, mass_s[o_idx], 0.0),
+             radius_s[o_idx], cell_s[o_idx])
+        in_cap_src = (pos_s, vel_s, jnp.where(in_cap, mass_s, 0.0),
+                      radius_s, cell_s)
+        dp_b, dv_b = blocked_pairs(everyone, o)
+        dpos_s = dpos_s + dp_b
+        dvel_s = dvel_s + dv_b
+        dp_c, dv_c = blocked_pairs(o, in_cap_src)
+        dpos_s = dpos_s.at[o_idx].add(jnp.where(o_valid[:, None], dp_c, 0.0))
+        dvel_s = dvel_s.at[o_idx].add(jnp.where(o_valid[:, None], dv_c, 0.0))
+        return dpos_s, dvel_s
+
+    dpos_s, dvel_s = lax.cond(
+        overflow > 0, residual, lambda a: a, (dpos_s, dvel_s))
+
+    return state.replace(
+        pos=pos + dpos_s[inv], vel=vel + dvel_s[inv])
+
+
 def resolve_collisions(state: ParticleState, config: SimConfig) -> ParticleState:
     """Full collision step: broad phase + Jacobi narrow phase, iterated."""
     if not config.enable_collisions:
         return state
-    one_pass = _dense_pass if state.n <= DENSE_THRESHOLD else _grid_pass
+    if state.n <= DENSE_THRESHOLD:
+        one_pass = _dense_pass
+    elif state.dim == 2:
+        one_pass = _bucket_pass
+    else:
+        one_pass = _grid_pass
     for _ in range(max(1, config.collision_iterations)):
         state = one_pass(state, config)
     return state
