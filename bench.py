@@ -66,12 +66,79 @@ def _bench_step(n: int, reps: int) -> float:
     return reps / (time.perf_counter() - t0)
 
 
+def _bench_baseline_config(idx: int) -> dict:
+    """BASELINE.json configs 1-5 as runnable presets (one JSON dict each)."""
+    import jax
+
+    from nbodysim_tpu.config import SimConfig
+    from nbodysim_tpu.diagnostics.metrics import diagnostics
+    from nbodysim_tpu.diagnostics.profiling import (
+        measure_force_throughput, measure_step_throughput)
+    from nbodysim_tpu.physics.integrators import (
+        make_rollout, prime_accelerations)
+    from nbodysim_tpu.scenes import init_scene
+
+    if idx == 1:   # 2-body Kepler orbit: phase error after one period
+        from nbodysim_tpu.scenes.kepler import kepler_orbit, kepler_period
+
+        config = SimConfig(n=2, dt=0.02, softening=0.0,
+                           integrator="leapfrog_kdk", enable_collisions=False,
+                           enable_boundary=False, enable_velocity_clamp=False)
+        state = prime_accelerations(
+            kepler_orbit(config, central_mass=1e6, semi_major=1000.0), config)
+        period = kepler_period(config, 1e6, 1.0, 1000.0)
+        steps = int(round(period / config.dt))
+        out = make_rollout(config, steps)(state)
+        err = float(jnp.linalg.norm(out.pos[1] - state.pos[1]))
+        rel = err / (2 * np.pi * 1000.0)
+        return {"metric": "config1 Kepler phase error after 1 period",
+                "value": rel, "unit": "fraction of circumference",
+                "vs_baseline": None}
+    if idx == 2:   # Plummer 4096 energy drift over 1k steps
+        config = SimConfig(n=4096, dt=0.5, softening=10.0,
+                           integrator="leapfrog_kdk", enable_collisions=False,
+                           enable_boundary=False, enable_velocity_clamp=False)
+        state = prime_accelerations(
+            init_scene("plummer", config, total_mass=1e4,
+                       scale_radius=1000.0), config)
+        e0 = float(diagnostics(state, config).total_energy)
+        out = make_rollout(config, 1000)(state)
+        e1 = float(diagnostics(out, config).total_energy)
+        return {"metric": "config2 Plummer |dE/E| over 1k steps",
+                "value": abs(e1 - e0) / abs(e0), "unit": "relative",
+                "vs_baseline": 1e-4 / max(abs(e1 - e0) / abs(e0), 1e-30)}
+    if idx == 3:   # 64k all-pairs single chip
+        out = measure_force_throughput(65536, backend="pallas", reps=10)
+        return {"metric": "config3 all-pairs pairs/s at N=64k",
+                "value": out["pairs_per_second"], "unit": "pairs/s",
+                "vs_baseline": out["pairs_per_second"] / BASELINE_PAIRS_PER_SEC}
+    if idx == 4:   # 1M single chip (multi-chip needs a pod)
+        out = measure_force_throughput(1 << 20, backend="pallas", reps=2)
+        return {"metric": "config4 all-pairs pairs/s at N=1M (1 chip)",
+                "value": out["pairs_per_second"], "unit": "pairs/s",
+                "vs_baseline": out["pairs_per_second"] / BASELINE_PAIRS_PER_SEC}
+    if idx == 5:   # 4M galaxy merger via the tree code
+        out = measure_step_throughput(
+            1 << 22, reps=3, scene="galaxy_merger", force_backend="bh",
+            integrator="leapfrog_kdk", enable_collisions=False, dt=0.05)
+        return {"metric": "config5 galaxy-merger steps/s at N=4M (BH, 1 chip)",
+                "value": out["steps_per_second"], "unit": "steps/s",
+                "vs_baseline": None}
+    raise SystemExit(f"unknown --config {idx} (1-5)")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=65536)
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--full", action="store_true")
+    ap.add_argument("--config", type=int, default=None,
+                    help="run a BASELINE.json config preset (1-5)")
     args = ap.parse_args()
+
+    if args.config is not None:
+        print(json.dumps(_bench_baseline_config(args.config)))
+        return
 
     rate = _bench_kernel(args.n, args.reps)
     print(json.dumps({

@@ -89,6 +89,66 @@ def direct_accelerations(
     return acc.reshape(n_blocks * block_size, -1)[:n]
 
 
+def potential_energy_large(
+    pos: jax.Array,
+    mass: jax.Array,
+    eps_sq: float,
+    g_const: float = 1.0,
+    pairs_per_call: float = 4e12,
+) -> float:
+    """Host-chunked exact potential for very large N.
+
+    A single device call computing all N^2/2 pair terms runs ~30 s per 4e12
+    pairs on v5e; beyond that the device tunnel's execution watchdog kills
+    the worker (observed at N=4M). This wrapper splits the target axis over
+    multiple device calls. Returns a Python float (host sync per chunk).
+    """
+    n = pos.shape[0]
+    n_chunks = max(1, int(-(-float(n) * n // pairs_per_call)))
+    if n_chunks == 1:
+        return float(potential_energy(pos, mass, eps_sq, g_const))
+    chunk = -(-n // n_chunks)
+    total = 0.0
+    for i in range(0, n, chunk):
+        tgt = pos[i : i + chunk]
+        tgt_m = mass[i : i + chunk]
+        total += float(
+            _partial_potential(tgt, tgt_m, pos, mass, eps_sq)
+        )
+    return -0.5 * g_const * total
+
+
+@functools.partial(jax.jit, static_argnames=("eps_sq",))
+def _partial_potential(tgt, tgt_m, src, src_m, eps_sq):
+    """sum_{i in tgt, j in src, d!=0} m_i m_j / sqrt(d^2 + eps^2)."""
+    bs = min(2048, tgt.shape[0])
+    nb = -(-tgt.shape[0] // bs)
+    tp = jnp.pad(tgt, ((0, nb * bs - tgt.shape[0]), (0, 0)))
+    tm = jnp.pad(tgt_m, (0, nb * bs - tgt.shape[0]))
+    sb = min(4096, src.shape[0])
+    nsb = -(-src.shape[0] // sb)
+    sp = jnp.pad(src, ((0, nsb * sb - src.shape[0]), (0, 0))).reshape(
+        nsb, sb, -1)
+    sm = jnp.pad(src_m, (0, nsb * sb - src.shape[0])).reshape(nsb, sb)
+
+    def one(args):
+        tpb, tmb = args
+
+        def one_src(acc, sargs):
+            spb, smb = sargs
+            d = spb[None, :, :] - tpb[:, None, :]
+            d_sq = jnp.sum(d * d, axis=-1)
+            inv = lax.rsqrt(d_sq + eps_sq)
+            pair = tmb[:, None] * smb[None, :] * inv
+            return acc + jnp.sum(jnp.where(d_sq > 0.0, pair, 0.0)), None
+
+        out, _ = lax.scan(one_src, jnp.zeros((), tgt.dtype), (sp, sm))
+        return out
+
+    return jnp.sum(lax.map(
+        one, (tp.reshape(nb, bs, -1), tm.reshape(nb, bs))))
+
+
 def potential_energy(
     pos: jax.Array,
     mass: jax.Array,
@@ -100,7 +160,8 @@ def potential_energy(
 
     Consistent with the force law above (it is its exact negative gradient for
     fixed eps), so dE/dt -> 0 under a symplectic integrator. Blocked like
-    direct_accelerations.
+    direct_accelerations. For N > ~2M use `potential_energy_large` (host-
+    chunked; a single device call that long trips the execution watchdog).
     """
     n = pos.shape[0]
     bs = min(block_size, n)
@@ -108,15 +169,23 @@ def potential_energy(
     n_pad = n_blocks * bs - n
     tgt = jnp.pad(pos, ((0, n_pad), (0, 0))).reshape(n_blocks, bs, -1)
     tgt_m = jnp.pad(mass, (0, n_pad)).reshape(n_blocks, bs)
+    src = tgt      # sources chunked identically (a [bs, N] temp is 32 GB
+    src_m = tgt_m  # at N=4M; double blocking keeps temps at [bs, bs])
 
     def one_block(args):
         tp, tm = args
-        d = pos[None, :, :] - tp[:, None, :]
-        d_sq = jnp.sum(d * d, axis=-1)
-        inv = lax.rsqrt(d_sq + eps_sq)
-        pair = tm[:, None] * mass[None, :] * inv
-        pair = jnp.where(d_sq > 0.0, pair, 0.0)
-        return jnp.sum(pair)
+
+        def one_src(acc, sargs):
+            sp, sm = sargs
+            d = sp[None, :, :] - tp[:, None, :]
+            d_sq = jnp.sum(d * d, axis=-1)
+            inv = lax.rsqrt(d_sq + eps_sq)
+            pair = tm[:, None] * sm[None, :] * inv
+            pair = jnp.where(d_sq > 0.0, pair, 0.0)
+            return acc + jnp.sum(pair), None
+
+        total, _ = lax.scan(one_src, jnp.zeros((), pos.dtype), (src, src_m))
+        return total
 
     per_block = lax.map(one_block, (tgt, tgt_m))
     return -0.5 * g_const * jnp.sum(per_block)

@@ -94,3 +94,13 @@ def test_potential_blocked_matches():
     u1 = potential_energy(pos, mass, 1.0, block_size=2048)
     u2 = potential_energy(pos, mass, 1.0, block_size=64)
     np.testing.assert_allclose(float(u1), float(u2), rtol=1e-5)
+
+
+def test_potential_energy_large_matches():
+    from nbodysim_tpu.physics.forces import potential_energy_large
+
+    pos, mass = _rand_system(500)
+    exact = float(potential_energy(pos, mass, 1.0))
+    chunked = potential_energy_large(
+        pos, mass, 1.0, pairs_per_call=30000.0)  # forces many host chunks
+    np.testing.assert_allclose(chunked, exact, rtol=1e-5)
