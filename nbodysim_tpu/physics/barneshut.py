@@ -47,8 +47,8 @@ Two exactness safeguards on top of the plain FMM:
 Accuracy (vs exact direct sum): uniform cloud median ~1e-2 (R=2) /
 ~1e-2..4e-3 (R=3); disc and galaxy-merger scenes ~1e-6 (heavy extraction
 carries the dominant force exactly). Measured on one v5e chip at N=1M:
-753 ms/eval vs 5.04 s for the exact all-pairs kernel (6.7x), i.e. a
-pairs-equivalent rate of 1.46e12/s.
+576 ms/eval (K=16 buckets) vs 5.04 s for the exact all-pairs kernel
+(8.7x), i.e. a pairs-equivalent rate of 1.91e12/s.
 """
 
 from __future__ import annotations
@@ -62,7 +62,8 @@ from jax import lax
 
 from nbodysim_tpu.config import SimConfig
 
-NEAR_CAP = 32       # bucket slots per finest cell for the near field
+NEAR_CAP = 16       # bucket slots per finest cell (measured: 366 ms near field
+                    # at N=1M vs 580 at K=32; overflow repaired exactly)
 _OVERFLOW_CAP = 4096  # compact-residual set size for overflowing cells
 
 
