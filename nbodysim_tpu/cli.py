@@ -91,6 +91,8 @@ def cmd_run(args):
     total = args.steps
     chunk = max(1, min(args.log_every, total))
     t_start = time.perf_counter()
+    last_ckpt_bucket = (int(sim.frame) // args.checkpoint_every
+                        if args.checkpoint_every else 0)
     while int(sim.frame) < total:
         todo = min(chunk, total - int(sim.frame))
         sim.run(todo)
@@ -110,10 +112,16 @@ def cmd_run(args):
             print("  " + " | ".join(
                 f"{k} {float(v):.4g}" for k, v in m.items()))
         ck_dir = args.checkpoint_dir or "checkpoints"
-        if args.checkpoint_every and int(sim.frame) % args.checkpoint_every == 0:
-            path = f"{ck_dir}/ckpt_{int(sim.frame):07d}.npz"
-            save_checkpoint(path, sim.state, config)
-            print(f"  checkpoint -> {path}")
+        # Fire whenever a checkpoint-every boundary was crossed this chunk
+        # (the frame counter advances log_every at a time, so an exact
+        # modulo test would silently skip incompatible cadences).
+        if args.checkpoint_every:
+            bucket = int(sim.frame) // args.checkpoint_every
+            if bucket > last_ckpt_bucket:
+                last_ckpt_bucket = bucket
+                path = f"{ck_dir}/ckpt_{int(sim.frame):07d}.npz"
+                save_checkpoint(path, sim.state, config)
+                print(f"  checkpoint -> {path}")
 
     # A final checkpoint is written only when checkpointing was requested.
     if args.checkpoint_dir and not args.checkpoint_every:

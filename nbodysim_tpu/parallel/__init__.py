@@ -2,6 +2,7 @@ from nbodysim_tpu.parallel.sharded import (
     make_mesh,
     shard_state,
     make_sharded_step,
+    prime_accelerations_sharded,
     ring_accelerations,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "make_mesh",
     "shard_state",
     "make_sharded_step",
+    "prime_accelerations_sharded",
     "ring_accelerations",
 ]

@@ -155,6 +155,32 @@ def _gathered_collision_pass(
     return jnp.sum(dpos, axis=1), jnp.sum(dvel, axis=1)
 
 
+def prime_accelerations_sharded(
+    state: ParticleState,
+    config: SimConfig,
+    mesh: Mesh,
+    axis_name: Optional[str] = None,
+) -> ParticleState:
+    """Fill state.acc with a(t0) via the ring reduction — required before
+    the first sharded leapfrog_kdk step (the single-chip entry points prime
+    automatically; a sharded state built from init_scene carries zeros)."""
+    axis = axis_name or config.mesh_axis
+
+    def prime(s: ParticleState) -> ParticleState:
+        acc = ring_accelerations(s.pos, s.mass, config, axis)
+        return s.replace(acc=acc)
+
+    spec_arr = P(axis)
+    spec_state = ParticleState(
+        pos=spec_arr, vel=spec_arr, acc=spec_arr,
+        mass=spec_arr, radius=spec_arr, frame=P(),
+    )
+    return jax.jit(jax.shard_map(
+        prime, mesh=mesh, in_specs=(spec_state,), out_specs=spec_state,
+        check_vma=False,
+    ))(state)
+
+
 def make_sharded_step(
     config: SimConfig,
     mesh: Mesh,

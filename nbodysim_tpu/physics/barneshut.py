@@ -64,7 +64,8 @@ from nbodysim_tpu.config import SimConfig
 
 NEAR_CAP = 16       # bucket slots per finest cell (measured: 366 ms near field
                     # at N=1M vs 580 at K=32; overflow repaired exactly)
-_OVERFLOW_CAP = 4096  # compact-residual set size for overflowing cells
+_OVERFLOW_CAP = 16384   # compact-residual set size for overflowing cells
+_OUTLIER_CAP = 4096     # most-distant particles extracted for exact handling
 
 
 def _bounding_square(pos: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -395,8 +396,41 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     w_h = jnp.where(d_sq_h > 0.0, w_h, 0.0)
     acc_heavy = g_const * jnp.einsum("nk,nkd->nd", w_h, d_h)
 
-    mass = field_mass  # the tree sees only the smooth field below
-    grids, corner, size, ci, flat = _build_pyramid(pos, mass, levels)
+    # Outlier extraction: centrally concentrated scenes (Plummer spheres
+    # have sampled radii out to ~1000 scale lengths) would otherwise set a
+    # bounding box 100-1000x larger than the bulk, collapsing the core
+    # into a handful of cells and swamping the near-field buckets. The
+    # k_out most distant particles (Chebyshev distance from the field COM)
+    # leave the tree: the grid is built over the remaining bulk, and
+    # outliers get exact forces from everything ([k_out, N] blocked pass).
+    k_out = min(_OUTLIER_CAP, max(n // 16, 1))
+    total_fm = jnp.maximum(jnp.sum(field_mass), 1e-30)
+    com = jnp.sum(field_mass[:, None] * pos, axis=0) / total_fm
+    cheb_dist = jnp.max(jnp.abs(pos - com), axis=1)
+    _, out_i = lax.top_k(cheb_dist, k_out)
+    is_out = jnp.zeros((n,), bool).at[out_i].set(True)
+    # Heavy bodies stay in their own exact pass even if distant.
+    is_out = is_out & ~is_heavy
+
+    # Exact forces ON outliers from all non-heavy sources (heavy forces on
+    # them come from acc_heavy; other outliers are included here).
+    from nbodysim_tpu.physics.forces import direct_accelerations
+
+    acc_out = direct_accelerations(
+        pos[out_i], mass, eps_sq, g_const,
+        src_pos=pos, src_mass=jnp.where(is_heavy, 0.0, mass))
+    out_sel = is_out[out_i]
+    # ... and the reciprocal: bulk targets still feel the extracted
+    # outliers' mass, by exact [N, k_out] pairs (outlier-target rows of
+    # this term are discarded below — their exact pass already includes
+    # outlier-outlier interactions).
+    acc_from_out = direct_accelerations(
+        pos, mass, eps_sq, g_const,
+        src_pos=pos[out_i], src_mass=jnp.where(out_sel, mass[out_i], 0.0))
+
+    mass = jnp.where(is_out, 0.0, field_mass)  # the tree sees only the bulk
+    bulk_pos = jnp.where(is_out[:, None], com[None, :], pos)
+    grids, corner, size, ci, flat = _build_pyramid(bulk_pos, mass, levels)
 
     # Downward pass: M2L at each level + L2L to the next.
     local = None
@@ -424,9 +458,29 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     far_y = fy[cellx, celly] + jxy[cellx, celly] * dxp + jyy[cellx, celly] * dyp
     far = g_const * jnp.stack([far_x, far_y], axis=-1)
 
-    near, _overflow = _near_field_buckets(
-        pos, mass, ci, flat, levels, eps_sq, g_const, near_cap, radius)
-    return far + near + acc_heavy
+    # Outliers must not enter the near-field buckets (their clipped cells
+    # would crowd central slots): give each a unique out-of-range flat id —
+    # the scatter drops them, no probe ever matches them, and their own
+    # (garbage) rows are replaced below.
+    flat_nf = jnp.where(is_out, res * res + jnp.arange(n), flat)
+    near, overflow = _near_field_buckets(
+        pos, mass, ci, flat_nf, levels, eps_sq, g_const, near_cap, radius)
+
+    def _warn(_):
+        jax.debug.print(
+            "nbodysim_tpu: BH near-field overflow {o} exceeds the residual "
+            "capacity {c}; excess particles get no near-field force this "
+            "step (use force_backend='pallas' for strongly clustered "
+            "scenes at this N, or raise bh_levels)",
+            o=overflow, c=min(n, _OVERFLOW_CAP))
+        return 0
+
+    lax.cond(overflow > min(n, _OVERFLOW_CAP), _warn, lambda _: 0, 0)
+
+    acc = jnp.where(is_out[:, None], 0.0,
+                    far + near + acc_from_out) + acc_heavy
+    acc = acc.at[out_i].add(jnp.where(out_sel[:, None], acc_out, 0.0))
+    return acc
 
 
 def bh_near_overflow(pos: jax.Array, mass: jax.Array,

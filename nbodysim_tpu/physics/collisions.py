@@ -224,8 +224,15 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     # segment (hash matches) and is not the particle itself.
     cand_hash = h_sorted[cand]                                   # [N, K]
     want_hash = jnp.repeat(nbr_hash, window, axis=1)             # [N, K]
+    # Hash equality alone would scan a hash-colliding segment once per
+    # colliding neighbor offset and resolve its pairs twice; require the
+    # candidate's actual cell to match the probed neighbor cell.
+    want_cell = jnp.repeat(nbr_cells, window, axis=1)            # [N, K, D]
+    cand_cell = cell_s[cand]                                     # [N, K, D]
+    cell_match = jnp.all(cand_cell == want_cell, axis=-1)
     self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    valid = in_range & (cand_hash == want_hash) & (cand != self_idx)
+    valid = (in_range & (cand_hash == want_hash) & cell_match
+             & (cand != self_idx))
 
     d = pos_s[cand] - pos_s[:, None, :]                          # [N, K, D]
     v = vel_s[cand] - vel_s[:, None, :]
@@ -246,7 +253,7 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
 # Dense-bucket broad phase (large N, 2D): the fast TPU path
 # ---------------------------------------------------------------------------
 
-_OVERFLOW_CAP = 4096
+_OVERFLOW_CAP = 16384
 
 
 def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:
@@ -479,8 +486,13 @@ def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:
         in_cap_src = (pos_s, vel_s, jnp.where(in_cap, mass_s, 0.0),
                       radius_s, cell_s)
         dp_b, dv_b = blocked_pairs(everyone, o)
-        dpos_s = dpos_s + dp_b
-        dvel_s = dvel_s + dv_b
+        # Big targets already received overflow-small impulses through
+        # dp_b2 (whose small_src includes overflow smalls) — adding dp_b's
+        # big rows would double the big side of each big/overflow pair and
+        # inject momentum. Mask them out.
+        not_big = ~big_s[:, None]
+        dpos_s = dpos_s + jnp.where(not_big, dp_b, 0.0)
+        dvel_s = dvel_s + jnp.where(not_big, dv_b, 0.0)
         dp_c, dv_c = blocked_pairs(o, in_cap_src)
         dpos_s = dpos_s.at[o_idx].add(jnp.where(o_valid[:, None], dp_c, 0.0))
         dvel_s = dvel_s.at[o_idx].add(jnp.where(o_valid[:, None], dv_c, 0.0))
@@ -488,6 +500,16 @@ def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:
 
     dpos_s, dvel_s = lax.cond(
         overflow > 0, residual, lambda a: a, (dpos_s, dvel_s))
+
+    def _warn(_):
+        jax.debug.print(
+            "nbodysim_tpu: collision bucket overflow {o} exceeds the "
+            "residual capacity {c}; excess particles get no collision "
+            "response this step (raise collision_grid_res or "
+            "collision_max_neighbors)", o=overflow, c=m_cap)
+        return 0
+
+    lax.cond(overflow > m_cap, _warn, lambda _: 0, 0)
 
     return state.replace(
         pos=pos + dpos_s[inv], vel=vel + dvel_s[inv])

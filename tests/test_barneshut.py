@@ -87,3 +87,21 @@ def test_bh_3d_rejected():
     mass = jnp.ones((16,))
     with pytest.raises(NotImplementedError):
         bh_accelerations(pos, mass, cfg)
+
+
+def test_bh_plummer_concentrated_accuracy():
+    """Regression (code-review finding): centrally concentrated scenes
+    (Plummer's sampled radii reach ~1000 scale lengths) must not silently
+    lose near-field forces to bucket overflow — the outlier extraction
+    keeps the grid on the bulk."""
+    cfg_s = SimConfig(n=4096, force_backend="xla", softening=10.0)
+    state = nb.init_scene("plummer", cfg_s, total_mass=1e4,
+                          scale_radius=1000.0)
+    a_dir = np.asarray(
+        direct_accelerations(state.pos, state.mass, eps_sq=100.0))
+    cfg = SimConfig(n=4096, force_backend="bh", softening=10.0)
+    a_bh = np.asarray(bh_accelerations(state.pos, state.mass, cfg))
+    err = np.linalg.norm(a_bh - a_dir, axis=1) / (
+        np.linalg.norm(a_dir, axis=1) + 1e-12)
+    assert np.median(err) < 0.05, np.median(err)
+    assert np.percentile(err, 90) < 0.15, np.percentile(err, 90)

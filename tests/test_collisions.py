@@ -130,3 +130,56 @@ def test_resolve_collisions_dispatch():
 
     out2 = resolve_collisions(state, _cfg(enable_collisions=False))
     np.testing.assert_array_equal(np.asarray(out2.vel), np.asarray(state.vel))
+
+
+def test_bucket_pass_big_plus_overflow_momentum():
+    """Regression (code-review finding): a big body adjacent to a cell that
+    overflows the slot cap must not double-count big<->overflow pairs —
+    momentum is conserved and the result matches the dense oracle."""
+    import jax
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    n = 13
+    # 12 smalls crammed into one spot + 1 big body overlapping them.
+    pos = jnp.concatenate([
+        jax.random.uniform(k1, (12, 2), jnp.float32, -5.0, 5.0),
+        jnp.array([[3.0, 0.0]]),
+    ])
+    vel = jax.random.uniform(k2, (n, 2), jnp.float32, -2.0, 2.0)
+    mass = jnp.concatenate([jnp.ones((12,)), jnp.array([50.0])])
+    radius = jnp.concatenate([jnp.full((12,), 1.5), jnp.array([400.0])])
+    state = ParticleState.create(pos, vel, mass, radius)
+
+    cfg = _cfg(collision_max_neighbors=4, collision_grid_res=64)
+    dense = _dense_pass(state, cfg)
+    from nbodysim_tpu.physics.collisions import _bucket_pass
+
+    bucket = _bucket_pass(state, cfg)
+    np.testing.assert_allclose(
+        np.asarray(bucket.vel), np.asarray(dense.vel), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(bucket.pos), np.asarray(dense.pos), atol=1e-3)
+    p0 = np.asarray(jnp.sum(mass[:, None] * vel, 0))
+    p1 = np.asarray(jnp.sum(mass[:, None] * bucket.vel, 0))
+    np.testing.assert_allclose(p1, p0, atol=1e-2)
+
+
+def test_bucket_pass_momentum_large_random():
+    """Bucket path conservation on a 70k-particle collision-rich cloud
+    (covers the production N>64k path end-to-end)."""
+    import jax
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(4), 3)
+    n = 70000
+    pos = jax.random.uniform(k1, (n, 2), jnp.float32, -20000.0, 20000.0)
+    vel = jax.random.uniform(k2, (n, 2), jnp.float32, -50.0, 50.0)
+    mass = jax.random.uniform(k3, (n,), jnp.float32, 0.5, 2.0)
+    radius = jnp.full((n,), 60.0)  # overlap-rich
+    state = ParticleState.create(pos, vel, mass, radius)
+
+    out = resolve_collisions(state, _cfg())
+    p0 = np.asarray(jnp.sum(mass[:, None] * vel, 0))
+    p1 = np.asarray(jnp.sum(mass[:, None] * out.vel, 0))
+    scale = float(jnp.sum(mass * jnp.linalg.norm(vel, axis=-1)))
+    np.testing.assert_allclose(p1, p0, atol=scale * 1e-5)
+    assert not np.allclose(np.asarray(out.vel), np.asarray(vel))
