@@ -299,43 +299,25 @@ def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     def near_masked_blocked(tgt_pos, tgt_cell, src_pos, src_mass, src_cell):
         """Near-cell-masked pairwise accs, blocked over BOTH axes so the
         pair temp stays [<=2048, <=2048] regardless of set sizes."""
-        t = tgt_pos.shape[0]
-        s = src_pos.shape[0]
-        bs_t = min(t, 2048)
-        bs_s = min(s, 2048)
-        nb_t = -(-t // bs_t)
-        nb_s = -(-s // bs_s)
-        tp = jnp.pad(tgt_pos, ((0, nb_t * bs_t - t), (0, 0)))
-        tc = jnp.pad(tgt_cell, ((0, nb_t * bs_t - t), (0, 0)))
-        sp = jnp.pad(src_pos, ((0, nb_s * bs_s - s), (0, 0)))
-        sm = jnp.pad(src_mass, (0, nb_s * bs_s - s))
-        sc = jnp.pad(src_cell, ((0, nb_s * bs_s - s), (0, 0)),
-                     constant_values=jnp.iinfo(jnp.int32).max // 2)
+        from nbodysim_tpu.core.blocking import pairwise_blocked
 
-        def one_tgt(args):
-            tpb, tcb = args
+        def kernel(tgt, src):
+            tpb, tcb = tgt
+            spb, smb, scb = src
+            d = spb[None, :, :] - tpb[:, None, :]
+            d_sq = jnp.sum(d * d, axis=-1)
+            cheb = jnp.max(
+                jnp.abs(scb[None, :, :] - tcb[:, None, :]), axis=-1)
+            inv = lax.rsqrt(d_sq + eps_sq)
+            w = smb[None, :] * (inv * inv * inv)
+            # Zero-padded source rows carry mass 0 and are inert.
+            w = jnp.where((cheb <= rr1) & (d_sq > 0.0), w, 0.0)
+            return (jnp.einsum("ts,tsd->td", w, d),)
 
-            def one_src(acc, sargs):
-                spb, smb, scb = sargs
-                d = spb[None, :, :] - tpb[:, None, :]
-                d_sq = jnp.sum(d * d, axis=-1)
-                cheb = jnp.max(
-                    jnp.abs(scb[None, :, :] - tcb[:, None, :]), axis=-1)
-                inv = lax.rsqrt(d_sq + eps_sq)
-                w = smb[None, :] * (inv * inv * inv)
-                w = jnp.where((cheb <= rr1) & (d_sq > 0.0), w, 0.0)
-                return acc + jnp.einsum("ts,tsd->td", w, d), None
-
-            acc0 = jnp.zeros((bs_t, 2), tgt_pos.dtype)
-            acc, _ = lax.scan(
-                one_src, acc0,
-                (sp.reshape(nb_s, bs_s, 2), sm.reshape(nb_s, bs_s),
-                 sc.reshape(nb_s, bs_s, 2)))
-            return acc
-
-        out = lax.map(one_tgt, (tp.reshape(nb_t, bs_t, 2),
-                                tc.reshape(nb_t, bs_t, 2)))
-        return out.reshape(nb_t * bs_t, 2)[:t]
+        (acc,) = pairwise_blocked(
+            kernel, (tgt_pos, tgt_cell), (src_pos, src_mass, src_cell),
+            out_dims=((2,),), dtype=tgt_pos.dtype, bs_t=2048, bs_s=2048)
+        return acc
 
     def residual(acc_s):
         over = ~in_cap

@@ -106,53 +106,28 @@ def _dense_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     so temps stay <= [1024, 4096]; self-pairs are no-ops in the pair math
     (d = v = 0), so no identity mask is needed.
     """
+    from nbodysim_tpu.core.blocking import pairwise_blocked
+
     pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
     n, dim = pos.shape
-    bs_t = min(n, 1024)
-    bs_s = min(n, 4096)
-    nb_t = -(-n // bs_t)
-    nb_s = -(-n // bs_s)
 
-    def padchop(a, size, blocks):
-        a = jnp.pad(a, ((0, blocks * size - a.shape[0]),)
-                    + ((0, 0),) * (a.ndim - 1))
-        return a.reshape((blocks, size) + a.shape[1:])
+    def kernel(tgt, src):
+        tpb, tvb, tmb, trb = tgt
+        spb, svb, smb, srb = src
+        d = spb[None, :, :] - tpb[:, None, :]
+        v = svb[None, :, :] - tvb[:, None, :]
+        msum = tmb[:, None] + smb[None, :]
+        w1 = smb[None, :] / jnp.where(msum > 0, msum, 1.0)
+        r = trb[:, None] + srb[None, :]
+        valid = smb[None, :] > 0   # zero-padded sources are inert
+        dpos, dvel = _pair_deltas(
+            d, v, w1, r, valid, config.collision_impulse)
+        return jnp.sum(dpos, axis=1), jnp.sum(dvel, axis=1)
 
-    tp = padchop(pos, bs_t, nb_t)
-    tv = padchop(vel, bs_t, nb_t)
-    tm = padchop(mass, bs_t, nb_t)
-    tr = padchop(radius, bs_t, nb_t)
-    sp = padchop(pos, bs_s, nb_s)
-    sv = padchop(vel, bs_s, nb_s)
-    sm = padchop(mass, bs_s, nb_s)   # zero-padded -> padded sources inert
-    sr = padchop(radius, bs_s, nb_s)
-
-    def one_tgt(args):
-        tpb, tvb, tmb, trb = args
-
-        def one_src(carry, sargs):
-            spb, svb, smb, srb = sargs
-            d = spb[None, :, :] - tpb[:, None, :]
-            v = svb[None, :, :] - tvb[:, None, :]
-            msum = tmb[:, None] + smb[None, :]
-            w1 = smb[None, :] / jnp.where(msum > 0, msum, 1.0)
-            r = trb[:, None] + srb[None, :]
-            valid = smb[None, :] > 0
-            dpos, dvel = _pair_deltas(
-                d, v, w1, r, valid, config.collision_impulse)
-            return (carry[0] + jnp.sum(dpos, axis=1),
-                    carry[1] + jnp.sum(dvel, axis=1)), None
-
-        init = (jnp.zeros((bs_t, dim), pos.dtype),
-                jnp.zeros((bs_t, dim), pos.dtype))
-        (dp, dv), _ = lax.scan(one_src, init, (sp, sv, sm, sr))
-        return dp, dv
-
-    dp, dv = lax.map(one_tgt, (tp, tv, tm, tr))
-    return state.replace(
-        pos=pos + dp.reshape(nb_t * bs_t, dim)[:n],
-        vel=vel + dv.reshape(nb_t * bs_t, dim)[:n],
-    )
+    dp, dv = pairwise_blocked(
+        kernel, (pos, vel, mass, radius), (pos, vel, mass, radius),
+        out_dims=((dim,), (dim,)), dtype=pos.dtype)
+    return state.replace(pos=pos + dp, vel=vel + dv)
 
 
 # ---------------------------------------------------------------------------
@@ -420,37 +395,15 @@ def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:
 
     def blocked_pairs(tgt, src, use_cheb=True):
         """Pair deltas blocked on BOTH axes (temps <= [2048, 2048])."""
-        t = tgt[0].shape[0]
-        s = src[0].shape[0]
-        bs_t, bs_s = min(t, 2048), min(s, 2048)
-        nb_t, nb_s = -(-t // bs_t), -(-s // bs_s)
+        from nbodysim_tpu.core.blocking import pairwise_blocked
 
-        def padchop(arrs, size, blocks):
-            out = []
-            for a in arrs:
-                a = jnp.pad(
-                    a, ((0, blocks * size - a.shape[0]),)
-                    + ((0, 0),) * (a.ndim - 1))
-                out.append(a.reshape((blocks, size) + a.shape[1:]))
-            return tuple(out)
+        def kernel(tgt_blk, src_blk):
+            dpos, dvel = pair_block(tgt_blk, src_blk, use_cheb)
+            return jnp.sum(dpos, axis=1), jnp.sum(dvel, axis=1)
 
-        tgt_c = padchop(tgt, bs_t, nb_t)
-        src_c = padchop(src, bs_s, nb_s)
-
-        def one_tgt(tgt_blk):
-            def one_src(carry, src_blk):
-                dpos, dvel = pair_block(tgt_blk, src_blk, use_cheb)
-                return (carry[0] + jnp.sum(dpos, axis=1),
-                        carry[1] + jnp.sum(dvel, axis=1)), None
-
-            init = (jnp.zeros((bs_t, 2), pos.dtype),
-                    jnp.zeros((bs_t, 2), pos.dtype))
-            (dp, dv), _ = lax.scan(one_src, init, src_c)
-            return dp, dv
-
-        dp, dv = lax.map(one_tgt, tgt_c)
-        return (dp.reshape(nb_t * bs_t, 2)[:t],
-                dv.reshape(nb_t * bs_t, 2)[:t])
+        return pairwise_blocked(
+            kernel, tgt, src, out_dims=((2,), (2,)), dtype=pos.dtype,
+            bs_t=2048, bs_s=2048)
 
     everyone = (pos_s, vel_s, mass_s, radius_s, cell_s)
 

@@ -77,32 +77,19 @@ def direct_accelerations(
     if n <= block_size and n_src <= 2 * block_size:
         return _pairwise_acc_block(pos, src_pos, src_mass, eps_sq, g_const)
 
-    # Blocked over BOTH axes (a [block, n_src] temp is 16 GB at n_src=1M):
-    # lax.map over target tiles, lax.scan over source chunks inside.
-    n_blocks = -(-n // block_size)
-    n_pad = n_blocks * block_size - n
-    tgt = jnp.pad(pos, ((0, n_pad), (0, 0)))
-    tgt = tgt.reshape(n_blocks, block_size, -1)
+    # Blocked over BOTH axes (a [block, n_src] temp is 16 GB at n_src=1M).
+    from nbodysim_tpu.core.blocking import pairwise_blocked
 
-    sbs = min(n_src, 2 * block_size)
-    n_sblocks = -(-n_src // sbs)
-    sp = jnp.pad(src_pos, ((0, n_sblocks * sbs - n_src), (0, 0)))
-    sp = sp.reshape(n_sblocks, sbs, -1)
-    sm = jnp.pad(src_mass, (0, n_sblocks * sbs - n_src))
-    sm = sm.reshape(n_sblocks, sbs)   # zero-padded sources are inert
+    def kernel(tgt, src):
+        (tp,) = tgt
+        sp, sm = src   # zero-padded sources are inert (mass 0)
+        return (_pairwise_acc_block(tp, sp, sm, eps_sq, g_const),)
 
-    def one_block(tgt_block):
-        def one_src(acc, sargs):
-            spb, smb = sargs
-            return acc + _pairwise_acc_block(
-                tgt_block, spb, smb, eps_sq, g_const), None
-
-        acc0 = jnp.zeros_like(tgt_block)
-        acc, _ = lax.scan(one_src, acc0, (sp, sm))
-        return acc
-
-    acc = lax.map(one_block, tgt)                    # [n_blocks, B, D]
-    return acc.reshape(n_blocks * block_size, -1)[:n]
+    (acc,) = pairwise_blocked(
+        kernel, (pos,), (src_pos, src_mass),
+        out_dims=((pos.shape[1],),), dtype=pos.dtype,
+        bs_t=block_size, bs_s=2 * block_size)
+    return acc
 
 
 def potential_energy_large(
