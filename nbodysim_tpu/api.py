@@ -49,6 +49,27 @@ class Simulation:
         self.state = state
         self._step = make_step(self.config)
         self._rollouts: dict[int, Callable] = {}
+        self._check_capacity()
+
+    def _check_capacity(self) -> None:
+        """Host-side capacity check on the initial state (the fixed-shape
+        overflow residuals silently degrade past their caps; the device
+        tunnel rejects in-kernel host callbacks, so warn here, once)."""
+        import warnings
+
+        if self.config.force_backend == "bh" and self.state.dim == 2:
+            from nbodysim_tpu.physics.barneshut import (
+                _OVERFLOW_CAP, bh_near_overflow)
+
+            over = bh_near_overflow(self.state.pos, self.state.mass,
+                                    self.config)
+            if over > _OVERFLOW_CAP:
+                warnings.warn(
+                    f"BH near-field overflow {over} exceeds the residual "
+                    f"capacity {_OVERFLOW_CAP} on the initial state; excess "
+                    f"particles get no near-field force. Use "
+                    f"force_backend='pallas' for this scene, or raise "
+                    f"bh_levels.", RuntimeWarning)
 
     @property
     def frame(self) -> int:

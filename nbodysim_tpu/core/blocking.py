@@ -68,3 +68,18 @@ def pairwise_blocked(
     outs = lax.map(one_tgt, tgt_c)
     return tuple(
         o.reshape((nb_t * bs_t,) + o.shape[2:])[:t] for o in outs)
+
+
+def sorted_first_occurrence(sorted_keys):
+    """Index of the first occurrence of each element's key, for SORTED keys.
+
+    Equivalent to jnp.searchsorted(sorted_keys, sorted_keys, side="left")
+    but ~40x faster on TPU at 1M elements (185 ms -> a cummax over int32):
+    mark segment starts where the key changes, then running-max of the
+    start indices.
+    """
+    n = sorted_keys.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_keys[1:] != sorted_keys[:-1]])
+    return jax.lax.cummax(jnp.where(is_start, idx, 0))

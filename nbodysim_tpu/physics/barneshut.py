@@ -47,8 +47,8 @@ Two exactness safeguards on top of the plain FMM:
 Accuracy (vs exact direct sum): uniform cloud median ~1e-2 (R=2) /
 ~1e-2..4e-3 (R=3); disc and galaxy-merger scenes ~1e-6 (heavy extraction
 carries the dominant force exactly). Measured on one v5e chip at N=1M:
-576 ms/eval (K=16 buckets) vs 5.04 s for the exact all-pairs kernel
-(8.7x), i.e. a pairs-equivalent rate of 1.91e12/s.
+415 ms/eval vs 5.04 s for the exact all-pairs kernel (12x), i.e. a
+pairs-equivalent rate of 2.65e12/s.
 """
 
 from __future__ import annotations
@@ -210,7 +210,9 @@ def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     order = jnp.argsort(flat)
     flat_s = flat[order]
     # Slot of each particle inside its cell = rank - first-rank-of-cell.
-    first = jnp.searchsorted(flat_s, flat_s, side="left")
+    from nbodysim_tpu.core.blocking import sorted_first_occurrence
+
+    first = sorted_first_occurrence(flat_s)
     slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
     overflow = jnp.sum(slot >= cap)
     in_cap = slot < cap
@@ -448,17 +450,9 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     near, overflow = _near_field_buckets(
         pos, mass, ci, flat_nf, levels, eps_sq, g_const, near_cap, radius)
 
-    def _warn(_):
-        jax.debug.print(
-            "nbodysim_tpu: BH near-field overflow {o} exceeds the residual "
-            "capacity {c}; excess particles get no near-field force this "
-            "step (use force_backend='pallas' for strongly clustered "
-            "scenes at this N, or raise bh_levels)",
-            o=overflow, c=min(n, _OVERFLOW_CAP))
-        return 0
-
-    lax.cond(overflow > min(n, _OVERFLOW_CAP), _warn, lambda _: 0, 0)
-
+    # NOTE: overflow beyond the residual capacity silently degrades; the
+    # device tunnel rejects host callbacks (jax.debug.print), so the check
+    # lives host-side in api.Simulation/_check_capacity (run once at init).
     acc = jnp.where(is_out[:, None], 0.0,
                     far + near + acc_from_out) + acc_heavy
     acc = acc.at[out_i].add(jnp.where(out_sel[:, None], acc_out, 0.0))
@@ -467,13 +461,37 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
 
 def bh_near_overflow(pos: jax.Array, mass: jax.Array,
                      config: SimConfig) -> int:
-    """Diagnostic: particles dropped from the near-field buckets."""
-    levels = _resolve_levels(config, pos.shape[0])
-    _, _, _, ci, flat = _build_pyramid(pos, mass, levels)
-    _, overflow = _near_field_buckets(
-        pos, mass, ci, flat, levels, float(config.eps_sq),
-        float(config.g_const), NEAR_CAP, config.bh_accept_radius)
-    return int(overflow)
+    """Diagnostic: bulk particles beyond the near-field bucket cap (after
+    the same heavy/outlier extraction the force path applies). Cheap: only
+    the occupancy count, no forces."""
+    from nbodysim_tpu.core.blocking import sorted_first_occurrence
+
+    n = pos.shape[0]
+    levels = _resolve_levels(config, n)
+    res = 1 << levels
+
+    k = min(_HEAVY_K, n)
+    top_m, top_i = lax.top_k(mass, k)
+    heavy_sel = top_m >= 1e-3 * jnp.sum(mass)
+    is_heavy = jnp.zeros((n,), bool).at[top_i].set(heavy_sel)
+    field_mass = jnp.where(is_heavy, 0.0, mass)
+
+    k_out = min(_OUTLIER_CAP, max(n // 16, 1))
+    total_fm = jnp.maximum(jnp.sum(field_mass), 1e-30)
+    com = jnp.sum(field_mass[:, None] * pos, axis=0) / total_fm
+    cheb_dist = jnp.max(jnp.abs(pos - com), axis=1)
+    _, out_i = lax.top_k(cheb_dist, k_out)
+    is_out = jnp.zeros((n,), bool).at[out_i].set(True) & ~is_heavy
+
+    bulk_pos = jnp.where(is_out[:, None], com[None, :], pos)
+    _, _, _, _, flat = _build_pyramid(bulk_pos, field_mass, levels)
+    flat_nf = jnp.where(is_out, res * res + jnp.arange(n), flat)
+
+    flat_s = jnp.sort(flat_nf)
+    first = sorted_first_occurrence(flat_s)
+    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    in_bulk = flat_s < res * res
+    return int(jnp.sum((slot >= NEAR_CAP) & in_bulk))
 
 
 def _resolve_levels(config: SimConfig, n: int) -> int:

@@ -282,7 +282,9 @@ def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:
 
     order = jnp.argsort(flat)
     flat_s = flat[order]
-    first = jnp.searchsorted(flat_s, flat_s, side="left")
+    from nbodysim_tpu.core.blocking import sorted_first_occurrence
+
+    first = sorted_first_occurrence(flat_s)
     slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
     big_s = is_big[order]
     in_cap = (slot < cap) & ~big_s
@@ -454,16 +456,9 @@ def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     dpos_s, dvel_s = lax.cond(
         overflow > 0, residual, lambda a: a, (dpos_s, dvel_s))
 
-    def _warn(_):
-        jax.debug.print(
-            "nbodysim_tpu: collision bucket overflow {o} exceeds the "
-            "residual capacity {c}; excess particles get no collision "
-            "response this step (raise collision_grid_res or "
-            "collision_max_neighbors)", o=overflow, c=m_cap)
-        return 0
-
-    lax.cond(overflow > m_cap, _warn, lambda _: 0, 0)
-
+    # NOTE: overflow beyond the residual capacity silently degrades; the
+    # device tunnel rejects host callbacks (jax.debug.print), so the check
+    # lives host-side in api.Simulation/_check_capacity (run once at init).
     return state.replace(
         pos=pos + dpos_s[inv], vel=vel + dvel_s[inv])
 

@@ -32,16 +32,34 @@ def save_frames(frames: Iterable, out_dir: str, prefix: str = "frame") -> list:
 
 
 def save_video(frames: Iterable, path: str, fps: int = 30) -> str:
-    """Encode frames to mp4 (or gif by extension) via imageio."""
-    import imageio
-
+    """Encode frames to mp4 (OpenCV, no ffmpeg needed) or gif (PIL)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     frames = [np.asarray(f) for f in frames]
     if path.endswith(".gif"):
+        import imageio
+
         imageio.mimsave(path, frames, fps=fps)
-    else:
-        imageio.mimsave(path, frames, fps=fps, macro_block_size=1)
-    return path
+        return path
+    try:
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        writer = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+        if not writer.isOpened():
+            raise RuntimeError("cv2.VideoWriter failed to open")
+        for f in frames:
+            writer.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        writer.release()
+        return path
+    except Exception as e:
+        # No system video encoder: fall back to an animated GIF.
+        import imageio
+
+        gif = os.path.splitext(path)[0] + ".gif"
+        imageio.mimsave(gif, frames, fps=fps)
+        print(f"save_video: mp4 encoder unavailable ({e}); wrote {gif}")
+        return gif
 
 
 def render_rollout(
