@@ -102,6 +102,40 @@ def _local_acc_fn(config: SimConfig) -> Callable:
     return acc
 
 
+def replicated_tree_accelerations(
+    pos_l: jax.Array,      # [N/P, D] local targets (inside shard_map)
+    mass_l: jax.Array,     # [N/P]
+    config: SimConfig,
+    axis_name: str = "shards",
+) -> jax.Array:
+    """Multi-chip BH v1: all-gather the (small) particle arrays, evaluate
+    the stencil FMM redundantly on every device, keep the local slice.
+
+    Particle arrays at N=4M are 48 MB — one all_gather over ICI — while the
+    tree build is hundreds of ms, so this trades redundant compute for zero
+    algorithmic risk. It makes force_backend='bh' usable under the sharded
+    step; scaling the tree itself (banded near field, pyramid halo
+    exchange) is future work and is tracked in STATUS.md.
+    """
+    from nbodysim_tpu.physics.barneshut import bh_accelerations
+
+    pos_g = lax.all_gather(pos_l, axis_name, tiled=True)
+    mass_g = lax.all_gather(mass_l, axis_name, tiled=True)
+    acc_g = bh_accelerations(pos_g, mass_g, config)
+    n_l = pos_l.shape[0]
+    my = lax.axis_index(axis_name)
+    return lax.dynamic_slice_in_dim(acc_g, my * n_l, n_l, axis=0)
+
+
+def sharded_accelerations(pos_l, mass_l, config: SimConfig,
+                          axis_name: str = "shards") -> jax.Array:
+    """Backend dispatch for in-shard force evaluation: the exact kernels go
+    through the ring reduction; the tree code uses the replicated build."""
+    if config.force_backend == "bh":
+        return replicated_tree_accelerations(pos_l, mass_l, config, axis_name)
+    return ring_accelerations(pos_l, mass_l, config, axis_name)
+
+
 def ring_accelerations(
     pos_l: jax.Array,      # [N/P, D] local targets (inside shard_map)
     mass_l: jax.Array,     # [N/P]
@@ -135,24 +169,34 @@ def _gathered_collision_pass(
 ):
     """Jacobi collision deltas for local targets against all-gathered
     sources (dense masked test; short-range so most pairs reject)."""
+    from nbodysim_tpu.core.blocking import pairwise_blocked
+
     pos_g = lax.all_gather(pos_l, axis_name, tiled=True)       # [N, D]
     vel_g = lax.all_gather(vel_l, axis_name, tiled=True)
     mass_g = lax.all_gather(mass_l, axis_name, tiled=True)
     radius_g = lax.all_gather(radius_l, axis_name, tiled=True)
 
-    n_l = pos_l.shape[0]
-    my = lax.axis_index(axis_name)
-    # Global index of each local target, to exclude self-pairs.
-    local_ids = my * n_l + jnp.arange(n_l)
-    global_ids = jnp.arange(pos_g.shape[0])
-    not_self = local_ids[:, None] != global_ids[None, :]       # [n_l, N]
+    dim = pos_l.shape[1]
 
-    d = pos_g[None, :, :] - pos_l[:, None, :]
-    v = vel_g[None, :, :] - vel_l[:, None, :]
-    w1 = mass_g[None, :] / (mass_l[:, None] + mass_g[None, :])
-    r = radius_l[:, None] + radius_g[None, :]
-    dpos, dvel = _pair_deltas(d, v, w1, r, not_self, config.collision_impulse)
-    return jnp.sum(dpos, axis=1), jnp.sum(dvel, axis=1)
+    def kernel(tgt, src):
+        tp, tv, tm, tr = tgt
+        sp, sv, sm, sr = src
+        d = sp[None, :, :] - tp[:, None, :]
+        v = sv[None, :, :] - tv[:, None, :]
+        msum = tm[:, None] + sm[None, :]
+        w1 = sm[None, :] / jnp.where(msum > 0, msum, 1.0)
+        r = tr[:, None] + sr[None, :]
+        # Self-pairs (d = v = 0) are no-ops in the pair math; zero-padded
+        # sources carry mass 0 and are inert.
+        valid = sm[None, :] > 0
+        dpos, dvel = _pair_deltas(
+            d, v, w1, r, valid, config.collision_impulse)
+        return jnp.sum(dpos, axis=1), jnp.sum(dvel, axis=1)
+
+    return pairwise_blocked(
+        kernel, (pos_l, vel_l, mass_l, radius_l),
+        (pos_g, vel_g, mass_g, radius_g),
+        out_dims=((dim,), (dim,)), dtype=pos_l.dtype)
 
 
 def prime_accelerations_sharded(
@@ -167,7 +211,7 @@ def prime_accelerations_sharded(
     axis = axis_name or config.mesh_axis
 
     def prime(s: ParticleState) -> ParticleState:
-        acc = ring_accelerations(s.pos, s.mass, config, axis)
+        acc = sharded_accelerations(s.pos, s.mass, config, axis)
         return s.replace(acc=acc)
 
     spec_arr = P(axis)
@@ -206,10 +250,10 @@ def make_sharded_step(
             half = 0.5 * dt
             vel_h = vel + state.acc * half
             pos_new = pos + vel_h * dt
-            acc = ring_accelerations(pos_new, mass, config, axis)
+            acc = sharded_accelerations(pos_new, mass, config, axis)
             vel_new = vel_h + acc * half
         else:
-            acc = ring_accelerations(pos, mass, config, axis)
+            acc = sharded_accelerations(pos, mass, config, axis)
             vel_new = vel + acc * dt
             pos_new = pos
 

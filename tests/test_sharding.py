@@ -83,3 +83,19 @@ def test_graft_entry(eight_devices):
     assert np.all(np.isfinite(np.asarray(out.pos)))
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_bh_backend(eight_devices):
+    """force_backend='bh' under the sharded step (replicated tree)."""
+    cfg = _cfg(n=512, force_backend="bh", enable_collisions=False,
+               integrator="leapfrog_kdk")
+    state = nb.init_scene("uniform_disc", cfg)
+    mesh = make_mesh(8)
+    from nbodysim_tpu.parallel import prime_accelerations_sharded
+
+    ss = prime_accelerations_sharded(shard_state(state, mesh), cfg, mesh)
+    out_s = make_sharded_step(cfg, mesh)(ss)
+    out_1 = make_step(cfg)(prime_accelerations(state, cfg))
+    scale = float(jnp.abs(out_1.pos).max())
+    np.testing.assert_allclose(
+        np.asarray(out_s.pos), np.asarray(out_1.pos), atol=scale * 1e-6)
