@@ -13,16 +13,17 @@ gather:
                  sit at the cell COM, so the dipole term vanishes.
   M2L:           per level, for each static V-list offset o (Chebyshev
                  distance in [R, 2R-1]), shift the (mass, COM) grids by o
-                 (pad+slice) and accumulate a p=1 local expansion at each
-                 target cell center: force F [2] and its Jacobian J [3].
-                 Offsets at distance 2R-1 are gated by the parity mask
-                 "parent-of-source within parent's near set", which makes
-                 cell coverage exactly-once across levels (FMM V-list).
-  L2L:           local expansions flow down: F_child = F_par + J_par.delta,
-                 J_child = J_par (delta = (+-1/2) child cell size).
-  L2P:           one gather per particle of (F, J) at its finest cell;
-                 F(x) = F_cell + J_cell.(x - center) — first-order local
-                 evaluation, restoring particle-position accuracy.
+                 (pad+slice) and accumulate a p=2 local expansion at each
+                 target cell center: force F [2], Jacobian J [3], and force
+                 Hessian H [4]. Offsets at distance 2R-1 are gated by the
+                 parity mask "parent-of-source within parent's near set",
+                 which makes cell coverage exactly-once (FMM V-list).
+  L2L:           local expansions re-center down the pyramid:
+                 F' = F + J d + (1/2) d^T H d,  J' = J + H d,  H' = H.
+  L2P:           one gather per particle of (F, J, H) at its finest cell +
+                 second-order evaluation at the particle position; the
+                 remaining error is the source quadrupole, O((cell/d)^2)
+                 relative per accepted cell.
   near field:    the (2R-1)^2 finest-cell neighborhood is resolved
                  particle-particle on a dense bucket grid [r, r, K]
                  (K slots per cell, built from the cell-sorted order):
@@ -44,11 +45,11 @@ Two exactness safeguards on top of the plain FMM:
     (runtime-gated by lax.cond, blocked on both axes), so clustered scenes
     do not silently lose near-field mass.
 
-Accuracy (vs exact direct sum): uniform cloud median ~1e-2 (R=2) /
-~1e-2..4e-3 (R=3); disc and galaxy-merger scenes ~1e-6 (heavy extraction
-carries the dominant force exactly). Measured on one v5e chip at N=1M:
-415 ms/eval vs 5.04 s for the exact all-pairs kernel (12x), i.e. a
-pairs-equivalent rate of 2.65e12/s.
+Accuracy (vs exact direct sum, p=2): uniform cloud median 1.6e-2 (R=2) /
+4.1e-3 (R=3, default); disc and galaxy-merger scenes ~1e-6 (heavy
+extraction carries the dominant force exactly). Measured on one v5e chip
+at N=1M: 400 ms/eval (R=2) / 466 ms (R=3) vs 5.04 s for the exact
+all-pairs kernel — 11-13x, a pairs-equivalent rate of 2.4-2.8e12/s.
 """
 
 from __future__ import annotations
@@ -144,7 +145,7 @@ def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
     sy_p = jnp.pad(comy, p)
 
     def body(carry, o):
-        fx, fy, jxx, jxy, jyy = carry
+        fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = carry
         ox, oy = o[0], o[1]
         start = (p + ox, p + oy)
         ms = lax.dynamic_slice(m_p, start, (r, r))
@@ -165,22 +166,34 @@ def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
         inv = lax.rsqrt(q)
         inv3 = inv * inv * inv
         inv5 = inv3 * inv * inv
+        inv7 = inv5 * inv * inv
         w3 = ms * inv3
         w5 = 3.0 * ms * inv5
+        # Second force derivatives (p=2 local term):
+        # H_ijk = m [15 d_i d_j d_k q^{-7/2}
+        #            - 3 (d_ij d_k + d_ik d_j + d_jk d_i) q^{-5/2}]
+        w7 = 15.0 * ms * inv7
+        w5s = 3.0 * ms * inv5
         return (fx + w3 * dx, fy + w3 * dy,
                 jxx + w5 * dx * dx - w3,
                 jxy + w5 * dx * dy,
-                jyy + w5 * dy * dy - w3), None
+                jyy + w5 * dy * dy - w3,
+                hxxx + w7 * dx * dx * dx - 3.0 * w5s * dx,
+                hxxy + w7 * dx * dx * dy - w5s * dy,
+                hxyy + w7 * dx * dy * dy - w5s * dx,
+                hyyy + w7 * dy * dy * dy - 3.0 * w5s * dy), None
 
     zeros = jnp.zeros_like(m)
-    (fx, fy, jxx, jxy, jyy), _ = lax.scan(
-        body, (zeros, zeros, zeros, zeros, zeros), offsets)
-    return fx, fy, jxx, jxy, jyy
+    out, _ = lax.scan(body, (zeros,) * 9, offsets)
+    return out
 
 
 def _l2l_upsample(local, s_child):
-    """Shift parent local expansions to the 4 child centers and upsample."""
-    fx, fy, jxx, jxy, jyy = local
+    """Shift parent local expansions to the 4 child centers and upsample.
+
+    p=2 re-centering: F' = F + J d + (1/2) d^T H d, J' = J + H d, H' = H.
+    """
+    fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = local
     r = fx.shape[0]
 
     def up(a):
@@ -188,15 +201,21 @@ def _l2l_upsample(local, s_child):
 
     fxu, fyu = up(fx), up(fy)
     jxxu, jxyu, jyyu = up(jxx), up(jxy), up(jyy)
+    hxxxu, hxxyu, hxyyu, hyyyu = up(hxxx), up(hxxy), up(hxyy), up(hyyy)
     # Child-center offset from parent center: (+-1/2) s_child by parity.
     r2 = 2 * r
     ex = ((lax.broadcasted_iota(jnp.int32, (r2, r2), 0) & 1)
           .astype(fx.dtype) - 0.5) * s_child
     ey = ((lax.broadcasted_iota(jnp.int32, (r2, r2), 1) & 1)
           .astype(fx.dtype) - 0.5) * s_child
-    fxc = fxu + jxxu * ex + jxyu * ey
-    fyc = fyu + jxyu * ex + jyyu * ey
-    return fxc, fyc, jxxu, jxyu, jyyu
+    fxc = (fxu + jxxu * ex + jxyu * ey
+           + 0.5 * (hxxxu * ex * ex + 2 * hxxyu * ex * ey + hxyyu * ey * ey))
+    fyc = (fyu + jxyu * ex + jyyu * ey
+           + 0.5 * (hxxyu * ex * ex + 2 * hxyyu * ex * ey + hyyyu * ey * ey))
+    jxxc = jxxu + hxxxu * ex + hxxyu * ey
+    jxyc = jxyu + hxxyu * ex + hxyyu * ey
+    jyyc = jyyu + hxyyu * ex + hyyyu * ey
+    return fxc, fyc, jxxc, jxyc, jyyc, hxxxu, hxxyu, hxyyu, hyyyu
 
 
 def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
@@ -428,8 +447,8 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                 u + t for u, t in zip(_l2l_upsample(local, s_child), terms)
             )
 
-    # L2P: one gather of (F, J) per particle + first-order evaluation.
-    fx, fy, jxx, jxy, jyy = local
+    # L2P: one gather of (F, J, H) per particle + second-order evaluation.
+    fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = local
     res = 1 << levels
     s_l = size / res
     cellx = ci[:, 0]
@@ -438,8 +457,18 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
     dxp = pos[:, 0] - centx
     dyp = pos[:, 1] - centy
-    far_x = fx[cellx, celly] + jxx[cellx, celly] * dxp + jxy[cellx, celly] * dyp
-    far_y = fy[cellx, celly] + jxy[cellx, celly] * dxp + jyy[cellx, celly] * dyp
+    hxxx_g = hxxx[cellx, celly]
+    hxxy_g = hxxy[cellx, celly]
+    hxyy_g = hxyy[cellx, celly]
+    hyyy_g = hyyy[cellx, celly]
+    far_x = (fx[cellx, celly] + jxx[cellx, celly] * dxp
+             + jxy[cellx, celly] * dyp
+             + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
+                      + hxyy_g * dyp * dyp))
+    far_y = (fy[cellx, celly] + jxy[cellx, celly] * dxp
+             + jyy[cellx, celly] * dyp
+             + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
+                      + hyyy_g * dyp * dyp))
     far = g_const * jnp.stack([far_x, far_y], axis=-1)
 
     # Outliers must not enter the near-field buckets (their clipped cells
