@@ -45,11 +45,11 @@ Two exactness safeguards on top of the plain FMM:
     (runtime-gated by lax.cond, blocked on both axes), so clustered scenes
     do not silently lose near-field mass.
 
-Accuracy (vs exact direct sum, p=2): uniform cloud median 1.6e-2 (R=2) /
-4.1e-3 (R=3, default); disc and galaxy-merger scenes ~1e-6 (heavy
-extraction carries the dominant force exactly). Measured on one v5e chip
-at N=1M: 400 ms/eval (R=2) / 466 ms (R=3) vs 5.04 s for the exact
-all-pairs kernel — 11-13x, a pairs-equivalent rate of 2.4-2.8e12/s.
+Accuracy (vs exact direct sum, p=2 local + quadrupole sources): uniform
+cloud median 1.1e-2 (R=2) / 2.1e-3 (R=3, default); disc and galaxy-merger
+scenes ~1e-6 (heavy extraction carries the dominant force exactly).
+Measured on one v5e chip at N=1M: 533 ms/eval (R=3) vs 5.04 s for the
+exact all-pairs kernel — 9.5x, a pairs-equivalent rate of 2.1e12/s.
 """
 
 from __future__ import annotations
@@ -86,19 +86,19 @@ def _build_pyramid(pos, mass, levels: int):
     ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)     # [N, 2]
     flat = ci[:, 0] * res + ci[:, 1]
 
-    m = jnp.zeros((res * res,), pos.dtype).at[flat].add(mass)
-    wx = jnp.zeros((res * res,), pos.dtype).at[flat].add(mass * pos[:, 0])
-    wy = jnp.zeros((res * res,), pos.dtype).at[flat].add(mass * pos[:, 1])
-    grids = {levels: (m.reshape(res, res), wx.reshape(res, res),
-                      wy.reshape(res, res))}
+    def scat(v):
+        return jnp.zeros((res * res,), pos.dtype).at[flat].add(v)
+
+    # Monopole + raw second moments (quadrupole about the COM is derived
+    # in M2L as Q_ij = r_ij - m c_i c_j; raw moments pool additively).
+    px, py = pos[:, 0], pos[:, 1]
+    fields = (mass, mass * px, mass * py,
+              mass * px * px, mass * px * py, mass * py * py)
+    grids = {levels: tuple(scat(v).reshape(res, res) for v in fields)}
     for l in range(levels - 1, -1, -1):
-        pm, pwx, pwy = grids[l + 1]
         r = 1 << l
-        grids[l] = (
-            pm.reshape(r, 2, r, 2).sum((1, 3)),
-            pwx.reshape(r, 2, r, 2).sum((1, 3)),
-            pwy.reshape(r, 2, r, 2).sum((1, 3)),
-        )
+        grids[l] = tuple(
+            g.reshape(r, 2, r, 2).sum((1, 3)) for g in grids[l + 1])
     return grids, corner, size, ci, flat
 
 
@@ -112,13 +112,18 @@ def _shift2d(a: jax.Array, ox: int, oy: int) -> jax.Array:
 
 
 def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
-    """V-list stencil at one level -> (F [r,r,2], J [r,r,3]) local terms."""
-    m, wx, wy = grids_l
+    """V-list stencil at one level -> p=2 local terms (F, J, H) with
+    quadrupole source moments folded into F."""
+    m, wx, wy, rxx, rxy, ryy = grids_l
     r = m.shape[0]
     s_l = size / r
     safe_m = jnp.where(m > 0, m, 1.0)
     comx = wx / safe_m
     comy = wy / safe_m
+    # Quadrupole about the COM (dipole vanishes by construction).
+    qxx = rxx - m * comx * comx
+    qxy = rxy - m * comx * comy
+    qyy = ryy - m * comy * comy
 
     # Cell centers in world coordinates.
     ix = lax.broadcasted_iota(jnp.int32, (r, r), 0).astype(m.dtype)
@@ -143,6 +148,9 @@ def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
     m_p = jnp.pad(m, p)
     sx_p = jnp.pad(comx, p)
     sy_p = jnp.pad(comy, p)
+    qxx_p = jnp.pad(qxx, p)
+    qxy_p = jnp.pad(qxy, p)
+    qyy_p = jnp.pad(qyy, p)
 
     def body(carry, o):
         fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = carry
@@ -151,6 +159,9 @@ def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
         ms = lax.dynamic_slice(m_p, start, (r, r))
         sx = lax.dynamic_slice(sx_p, start, (r, r))
         sy = lax.dynamic_slice(sy_p, start, (r, r))
+        sqxx = lax.dynamic_slice(qxx_p, start, (r, r))
+        sqxy = lax.dynamic_slice(qxy_p, start, (r, r))
+        sqyy = lax.dynamic_slice(qyy_p, start, (r, r))
         # Boundary ring (cheb == 2R-1): only when the source's parent lies
         # in the parent's near set (exactly-once coverage). Depends only on
         # cell parity — a 2x2 pattern.
@@ -158,7 +169,11 @@ def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
         pxo = (ox + parx) >> 1       # floor((ox + parity)/2)
         pyo = (oy + pary) >> 1
         pm_ok = (jnp.abs(pxo) <= R - 1) & (jnp.abs(pyo) <= R - 1)
-        ms = jnp.where((cheb < 2 * R - 1) | pm_ok, ms, 0.0)
+        keep = (cheb < 2 * R - 1) | pm_ok
+        ms = jnp.where(keep, ms, 0.0)
+        sqxx = jnp.where(keep, sqxx, 0.0)
+        sqxy = jnp.where(keep, sqxy, 0.0)
+        sqyy = jnp.where(keep, sqyy, 0.0)
 
         dx = sx - cx
         dy = sy - cy
@@ -174,14 +189,27 @@ def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
         #            - 3 (d_ij d_k + d_ik d_j + d_jk d_i) q^{-5/2}]
         w7 = 15.0 * ms * inv7
         w5s = 3.0 * ms * inv5
-        return (fx + w3 * dx, fy + w3 * dy,
+        # Unit-mass third-derivative tensors (shared by H accumulation and
+        # the quadrupole contraction): T_ijk = 15 d_i d_j d_k q^{-7/2}
+        #   - 3 (delta_ij d_k + delta_ik d_j + delta_jk d_i) q^{-5/2}
+        u7 = 15.0 * inv7
+        u5 = 3.0 * inv5
+        txxx = u7 * dx * dx * dx - 3.0 * u5 * dx
+        txxy = u7 * dx * dx * dy - u5 * dy
+        txyy = u7 * dx * dy * dy - u5 * dx
+        tyyy = u7 * dy * dy * dy - 3.0 * u5 * dy
+        # Quadrupole source term (Taylor of the kernel about the COM; the
+        # dipole vanishes): F_i += 1/2 Q_jk T_ijk.
+        fq_x = 0.5 * (sqxx * txxx + 2.0 * sqxy * txxy + sqyy * txyy)
+        fq_y = 0.5 * (sqxx * txxy + 2.0 * sqxy * txyy + sqyy * tyyy)
+        return (fx + w3 * dx + fq_x, fy + w3 * dy + fq_y,
                 jxx + w5 * dx * dx - w3,
                 jxy + w5 * dx * dy,
                 jyy + w5 * dy * dy - w3,
-                hxxx + w7 * dx * dx * dx - 3.0 * w5s * dx,
-                hxxy + w7 * dx * dx * dy - w5s * dy,
-                hxyy + w7 * dx * dy * dy - w5s * dx,
-                hyyy + w7 * dy * dy * dy - 3.0 * w5s * dy), None
+                hxxx + ms * txxx,
+                hxxy + ms * txxy,
+                hxyy + ms * txyy,
+                hyyy + ms * tyyy), None
 
     zeros = jnp.zeros_like(m)
     out, _ = lax.scan(body, (zeros,) * 9, offsets)

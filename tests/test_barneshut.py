@@ -26,7 +26,7 @@ def test_pyramid_mass_conservation():
         np.testing.assert_allclose(
             float(jnp.sum(grids[l][0])), total, rtol=1e-5)
     # COM of root cell = global COM
-    m, wx, wy = grids[0]
+    m, wx, wy = grids[0][:3]
     com = np.array([float(wx[0, 0] / m[0, 0]), float(wy[0, 0] / m[0, 0])])
     expected = np.asarray(
         jnp.sum(mass[:, None] * pos, axis=0) / jnp.sum(mass))
