@@ -71,6 +71,21 @@ class Simulation:
                     f"force_backend='pallas' for this scene, or raise "
                     f"bh_levels.", RuntimeWarning)
 
+        if (self.config.enable_collisions and self.state.dim == 2):
+            from nbodysim_tpu.physics.collisions import (
+                DENSE_THRESHOLD, _OVERFLOW_CAP as COLL_CAP,
+                collision_bucket_overflow)
+
+            if self.state.n > DENSE_THRESHOLD:
+                over = collision_bucket_overflow(self.state, self.config)
+                if over > COLL_CAP:
+                    warnings.warn(
+                        f"collision bucket overflow {over} exceeds the "
+                        f"residual capacity {COLL_CAP} on the initial state; "
+                        f"excess particles get no collision response. Raise "
+                        f"collision_grid_res or collision_max_neighbors.",
+                        RuntimeWarning)
+
     @property
     def frame(self) -> int:
         return int(self.state.frame)

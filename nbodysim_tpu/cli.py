@@ -40,10 +40,18 @@ def _parse_config(args) -> "SimConfig":
         overrides["force_backend"] = args.backend
     if args.seed is not None:
         overrides["seed"] = args.seed
+    import dataclasses
+
+    field_names = {f.name for f in dataclasses.fields(cfg)}
     for kv in args.set or []:
         k, _, v = kv.partition("=")
-        if not _ or not hasattr(cfg, k):
-            raise SystemExit(f"unknown config field in --set: {k!r}")
+        if not _ or k not in field_names:
+            # hasattr would accept properties like eps_sq and then crash in
+            # replace(); validate against the real dataclass fields.
+            hint = ""
+            if k == "eps_sq":
+                hint = " (did you mean 'softening'?)"
+            raise SystemExit(f"unknown config field in --set: {k!r}{hint}")
         current = getattr(cfg, k)
         if isinstance(current, bool):
             overrides[k] = v.lower() in ("1", "true", "yes")

@@ -36,7 +36,9 @@ class SimConfig:
 
     # Gravity softening (Plummer): eps^2 added inside the inverse-distance
     softening: float = 1.0     # epsilon; Simulation.hpp:59 ctor arg -> e_sq=1
-    theta: float = 1.0         # Barnes-Hut opening angle (Simulation.hpp:59)
+    # Barnes-Hut opening angle (Simulation.hpp:59); maps to the tree code's
+    # acceptance radius when bh_accept_radius is 0 (see physics/barneshut.py)
+    theta: float = 1.0
 
     # Velocity clamp + soft boundary (Simulation.hpp:120-124)
     max_velocity: float = 1000.0
@@ -66,10 +68,11 @@ class SimConfig:
     # Barnes-Hut / multilevel grid backend (physics/barneshut.py).
     # bh_levels <= 0 means auto (finest grid ~1 particle/cell).
     # bh_accept_radius: near Chebyshev radius R; accept cells at cheb >= R.
-    # R=2 ~ theta 1 (reference fidelity); R=3 ~ theta 0.5 (default: ~1e-2
-    # field error, and heavy point masses are handled exactly regardless).
+    # 0 (default) derives R from `theta` (R ~ 1 + 1/theta: the reference's
+    # theta=1 -> R=2 at ~1e-2 field error; theta=0.5 -> R=3 at ~2e-3).
+    # Heavy point masses are handled exactly regardless.
     bh_levels: int = 0
-    bh_accept_radius: int = 3
+    bh_accept_radius: int = 0
 
     # Numerics
     dtype: Any = jnp.float32

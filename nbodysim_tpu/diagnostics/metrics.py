@@ -167,7 +167,7 @@ def system_metrics(
         "avg_orbital_period": jnp.where(has_central, period, zero),
         "net_force": jnp.where(has_central, net_force, zero),
         "avg_speed": jnp.where(has_central, avg_speed, zero),
-        "stable_bodies": n_stable,
+        "stable_bodies": jnp.where(has_central, n_stable, 0),
     }
 
 

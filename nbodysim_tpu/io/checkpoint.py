@@ -25,7 +25,11 @@ _FORMAT_VERSION = 1
 
 def save_checkpoint(path: str, state: ParticleState,
                     config: Optional[SimConfig] = None) -> str:
-    """Write state (+ config) to a .npz checkpoint."""
+    """Write state (+ config) to a .npz checkpoint; returns the real path
+    (np.savez appends '.npz' when missing, so the suffix is normalized
+    here to keep save->load round trips working)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     payload = {
         "version": np.int32(_FORMAT_VERSION),

@@ -102,16 +102,7 @@ def _build_pyramid(pos, mass, levels: int):
     return grids, corner, size, ci, flat
 
 
-def _shift2d(a: jax.Array, ox: int, oy: int) -> jax.Array:
-    """a[t] <- a[t + o], zero-filled at the borders (static pad + slice)."""
-    r = a.shape[0]
-    px0, px1 = max(ox, 0), max(-ox, 0)
-    py0, py1 = max(oy, 0), max(-oy, 0)
-    padded = jnp.pad(a, ((px1, px0), (py1, py0)))
-    return padded[px1 + ox : px1 + ox + r, py1 + oy : py1 + oy + r]
-
-
-def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
+def _m2l_level(grids_l, corner, size, eps_sq, radius: int):
     """V-list stencil at one level -> p=2 local terms (F, J, H) with
     quadrupole source moments folded into F."""
     m, wx, wy, rxx, rxy, ryy = grids_l
@@ -187,8 +178,6 @@ def _m2l_level(grids_l, level: int, corner, size, eps_sq, radius: int):
         # Second force derivatives (p=2 local term):
         # H_ijk = m [15 d_i d_j d_k q^{-7/2}
         #            - 3 (d_ij d_k + d_ik d_j + d_jk d_i) q^{-5/2}]
-        w7 = 15.0 * ms * inv7
-        w5s = 3.0 * ms * inv5
         # Unit-mass third-derivative tensors (shared by H accumulation and
         # the quadrupole contraction): T_ijk = 15 d_i d_j d_k q^{-7/2}
         #   - 3 (delta_ij d_k + delta_ik d_j + delta_jk d_i) q^{-5/2}
@@ -389,15 +378,6 @@ def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     return acc, overflow
 
 
-def _shift3d(a: jax.Array, ox: int, oy: int) -> jax.Array:
-    """_shift2d over the leading two axes of [r, r, K]."""
-    r = a.shape[0]
-    px0, px1 = max(ox, 0), max(-ox, 0)
-    py0, py1 = max(oy, 0), max(-oy, 0)
-    padded = jnp.pad(a, ((px1, px0), (py1, py0), (0, 0)))
-    return padded[px1 + ox : px1 + ox + r, py1 + oy : py1 + oy + r, :]
-
-
 _HEAVY_K = 64  # max heavy bodies handled by exact direct interaction
 
 
@@ -440,8 +420,10 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     cheb_dist = jnp.max(jnp.abs(pos - com), axis=1)
     _, out_i = lax.top_k(cheb_dist, k_out)
     is_out = jnp.zeros((n,), bool).at[out_i].set(True)
-    # Heavy bodies stay in their own exact pass even if distant.
-    is_out = is_out & ~is_heavy
+    # Distant HEAVY bodies must also leave the grid (an ejected black hole
+    # would otherwise inflate the bounding square and collapse the bulk
+    # into a handful of cells); they keep exact treatment either way —
+    # their force on others via acc_heavy, forces on them via acc_out.
 
     # Exact forces ON outliers from all non-heavy sources (heavy forces on
     # them come from acc_heavy; other outliers are included here).
@@ -451,13 +433,16 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
         pos[out_i], mass, eps_sq, g_const,
         src_pos=pos, src_mass=jnp.where(is_heavy, 0.0, mass))
     out_sel = is_out[out_i]
+    # As sources toward the bulk, outliers must not re-contribute heavy
+    # mass (acc_heavy already covers every heavy source).
+    out_src_mass = jnp.where(out_sel & ~is_heavy[out_i], mass[out_i], 0.0)
     # ... and the reciprocal: bulk targets still feel the extracted
     # outliers' mass, by exact [N, k_out] pairs (outlier-target rows of
     # this term are discarded below — their exact pass already includes
     # outlier-outlier interactions).
     acc_from_out = direct_accelerations(
         pos, mass, eps_sq, g_const,
-        src_pos=pos[out_i], src_mass=jnp.where(out_sel, mass[out_i], 0.0))
+        src_pos=pos[out_i], src_mass=out_src_mass)
 
     mass = jnp.where(is_out, 0.0, field_mass)  # the tree sees only the bulk
     bulk_pos = jnp.where(is_out[:, None], com[None, :], pos)
@@ -466,7 +451,7 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     # Downward pass: M2L at each level + L2L to the next.
     local = None
     for l in range(2, levels + 1):
-        terms = _m2l_level(grids[l], l, corner, size, eps_sq, radius)
+        terms = _m2l_level(grids[l], corner, size, eps_sq, radius)
         if local is None:
             local = terms
         else:
@@ -538,7 +523,7 @@ def bh_near_overflow(pos: jax.Array, mass: jax.Array,
     com = jnp.sum(field_mass[:, None] * pos, axis=0) / total_fm
     cheb_dist = jnp.max(jnp.abs(pos - com), axis=1)
     _, out_i = lax.top_k(cheb_dist, k_out)
-    is_out = jnp.zeros((n,), bool).at[out_i].set(True) & ~is_heavy
+    is_out = jnp.zeros((n,), bool).at[out_i].set(True)
 
     bulk_pos = jnp.where(is_out[:, None], com[None, :], pos)
     _, _, _, _, flat = _build_pyramid(bulk_pos, field_mass, levels)
@@ -574,5 +559,14 @@ def bh_accelerations(pos: jax.Array, mass: jax.Array,
     return _bh_accelerations(
         pos, mass, levels=levels, eps_sq=float(config.eps_sq),
         g_const=float(config.g_const), near_cap=NEAR_CAP,
-        radius=config.bh_accept_radius,
+        radius=_resolve_radius(config),
     )
+
+
+def _resolve_radius(config: SimConfig) -> int:
+    """Acceptance radius; bh_accept_radius=0 derives it from the classic
+    opening angle theta (R ~ 1 + 1/theta: theta=1 -> 2, 0.5 -> 3)."""
+    r = config.bh_accept_radius
+    if r <= 0:
+        r = int(round(1.0 + 1.0 / max(config.theta, 0.25)))
+    return max(2, min(5, r))

@@ -149,13 +149,18 @@ def _cell_hash(cell: jax.Array, n_buckets: int) -> jax.Array:
 
 
 def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
-    """Sorted spatial-hash Jacobi collision pass (large N).
+    """Sorted spatial-hash Jacobi collision pass (3D large-N fallback).
 
     Fixed-shape pipeline: hash -> sort -> per-particle windowed scan of the
-    9/27 neighbor-cell segments (located via searchsorted). Window size is
-    `config.collision_max_neighbors` per neighbor cell; overflow beyond the
-    window is dropped (a capacity cap, like the reference's 16-slot render
-    grid cells, main.cpp:48).
+    27 neighbor-cell segments (located via searchsorted). Window size is
+    `config.collision_max_neighbors` per neighbor cell.
+
+    Known limitations (3D at N > DENSE_THRESHOLD only; the 2D bucket path
+    has neither): (a) window overflow drops one side of a pair while the
+    other may still fire — clustered cells can gain net momentum; (b) no
+    big-body extraction, so pairs whose combined radius exceeds
+    collision_cell_size are missed. Round-2 work is porting the 2D bucket
+    machinery (hashed, since a dense 3D grid is too large).
     """
     pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
     n, dim = pos.shape
@@ -476,3 +481,35 @@ def resolve_collisions(state: ParticleState, config: SimConfig) -> ParticleState
     for _ in range(max(1, config.collision_iterations)):
         state = one_pass(state, config)
     return state
+
+
+def collision_bucket_overflow(state: ParticleState, config: SimConfig) -> int:
+    """Diagnostic: small particles beyond the 2D bucket-grid slot cap that
+    would rely on the (capped) exact residual. Mirrors _bucket_pass's grid
+    construction; occupancy count only."""
+    import numpy as _np
+
+    from nbodysim_tpu.core.blocking import sorted_first_occurrence
+
+    pos, radius = state.pos[:, :2], state.radius
+    n = pos.shape[0]
+    cap = config.collision_max_neighbors
+    res = config.collision_grid_res
+
+    mn = jnp.min(pos, axis=0)
+    mx = jnp.max(pos, axis=0)
+    span = jnp.maximum(jnp.max(mx - mn), 1e-3) * 1.0001
+    corner = 0.5 * (mn + mx) - 0.5 * span
+    k_big = min(64, n)
+    top_r, top_i = lax.top_k(radius, min(k_big + 1, n))
+    cell_size = jnp.maximum(span / res, 2.05 * top_r[min(k_big, n - 1)])
+    big_sel = top_r[:k_big] > 0.5 * cell_size
+    is_big = jnp.zeros((n,), bool).at[top_i[:k_big]].set(big_sel)
+
+    cell = jnp.clip(((pos - corner) / cell_size).astype(jnp.int32),
+                    0, res - 1)
+    flat = jnp.where(is_big, res * res, cell[:, 0] * res + cell[:, 1])
+    flat_s = jnp.sort(flat)
+    first = sorted_first_occurrence(flat_s)
+    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    return int(jnp.sum((slot >= cap) & (flat_s < res * res)))

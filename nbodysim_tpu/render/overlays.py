@@ -134,6 +134,11 @@ def connections_overlay(
     in_range = cand < n
     cand_c = jnp.minimum(cand, n - 1)
     ok_hash = h_s[cand_c] == jnp.repeat(nbr_h, cap, axis=1)
+    # Require the actual cell to match too: hash-colliding neighbor offsets
+    # would otherwise scan (and splat) the same segment twice.
+    want_cell = jnp.repeat(nbr, cap, axis=1)
+    ok_cell = jnp.all(cell_s[cand_c] == want_cell, axis=-1)
+    ok_hash = ok_hash & ok_cell
     self_i = jnp.arange(n)[:, None]
     d = pos_s[cand_c] - pos_s[:, None, :]
     dist = jnp.linalg.norm(d, axis=-1)
