@@ -49,24 +49,32 @@ class Simulation:
         self.state = state
         self._step = make_step(self.config)
         self._rollouts: dict[int, Callable] = {}
-        self._check_capacity()
+        self.check_capacity()
 
-    def _check_capacity(self) -> None:
-        """Host-side capacity check on the initial state (the fixed-shape
-        overflow residuals silently degrade past their caps; the device
-        tunnel rejects in-kernel host callbacks, so warn here, once)."""
+    def check_capacity(self, when: str = "the initial state") -> bool:
+        """Host-side capacity check (the fixed-shape overflow residuals
+        silently degrade past their caps; the device tunnel rejects
+        in-kernel host callbacks, so the check runs host-side — at init
+        here, and periodically from the CLI run loop, since a scene that
+        clusters during evolution can overflow mid-run). Returns True when
+        any cap is exceeded (a warning was emitted)."""
         import warnings
 
-        if self.config.force_backend == "bh" and self.state.dim == 2:
+        from nbodysim_tpu.physics.forces import resolve_backend
+
+        exceeded = False
+        backend = resolve_backend(self.config, self.state.n, self.state.dim)
+        if backend == "bh" and self.state.dim == 2:
             from nbodysim_tpu.physics.barneshut import (
                 _OVERFLOW_CAP, bh_near_overflow)
 
             over = bh_near_overflow(self.state.pos, self.state.mass,
                                     self.config)
             if over > _OVERFLOW_CAP:
+                exceeded = True
                 warnings.warn(
                     f"BH near-field overflow {over} exceeds the residual "
-                    f"capacity {_OVERFLOW_CAP} on the initial state; excess "
+                    f"capacity {_OVERFLOW_CAP} on {when}; excess "
                     f"particles get no near-field force. Use "
                     f"force_backend='pallas' for this scene, or raise "
                     f"bh_levels.", RuntimeWarning)
@@ -79,12 +87,14 @@ class Simulation:
             if self.state.n > DENSE_THRESHOLD:
                 over = collision_bucket_overflow(self.state, self.config)
                 if over > COLL_CAP:
+                    exceeded = True
                     warnings.warn(
                         f"collision bucket overflow {over} exceeds the "
-                        f"residual capacity {COLL_CAP} on the initial state; "
+                        f"residual capacity {COLL_CAP} on {when}; "
                         f"excess particles get no collision response. Raise "
                         f"collision_grid_res or collision_max_neighbors.",
                         RuntimeWarning)
+        return exceeded
 
     @property
     def frame(self) -> int:

@@ -5,7 +5,10 @@ controls, dt slider, HUD metrics panel). On a TPU host there is no window;
 the same surface maps to subcommands:
 
   run     step a scene, print the HUD metrics panel every K steps,
-          checkpoint every K steps, resume from a checkpoint
+          checkpoint every K steps, resume from a checkpoint; --control FILE
+          polls a key=value file each chunk for live dt / pause / stop — the
+          headless analogue of the reference's runtime atomics
+          (main.cpp:674-724 keyboard handling, 889-893 dt slider)
   render  headless render to a PNG frame sequence / mp4 (BASELINE config 3)
   bench   the benchmark harness (same as bench.py)
   info    print device/backend info and the resolved config
@@ -78,7 +81,38 @@ def _add_common(p):
                    help="override any SimConfig field")
 
 
+def read_control_file(path):
+    """Parse a runtime-control file: one key=value per line (dt=<float>,
+    pause=0/1, stop=0/1); '#' comments and blank lines ignored. Returns a
+    dict (possibly empty). Missing/unreadable file -> empty dict."""
+    import os
+
+    out = {}
+    if not path or not os.path.exists(path):
+        return out
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+    except OSError:
+        return out
+    for line in lines:
+        line = line.split("#", 1)[0].strip()
+        if not line or "=" not in line:
+            continue
+        k, _, v = line.partition("=")
+        k, v = k.strip(), v.strip()
+        try:
+            if k == "dt":
+                out["dt"] = float(v)
+            elif k in ("pause", "stop"):
+                out[k] = v.lower() in ("1", "true", "yes", "on")
+        except ValueError:
+            continue
+    return out
+
+
 def cmd_run(args):
+    import os
     import jax
 
     from nbodysim_tpu.api import Simulation
@@ -101,9 +135,38 @@ def cmd_run(args):
     t_start = time.perf_counter()
     last_ckpt_bucket = (int(sim.frame) // args.checkpoint_every
                         if args.checkpoint_every else 0)
+    control = getattr(args, "control", None)
+    ctrl_mtime = None
     while int(sim.frame) < total:
+        # Runtime control channel (reference: atomics mutated by the UI
+        # thread, main.cpp:674-724; here a polled key=value file so a long
+        # headless TPU run can be retuned/paused/stopped without restart).
+        if control:
+            directives = read_control_file(control)
+            try:
+                mtime = os.path.getmtime(control)
+            except OSError:
+                mtime = None
+            changed = mtime != ctrl_mtime
+            ctrl_mtime = mtime
+            if directives.get("stop"):
+                print(f"control: stop at frame {int(sim.frame)}")
+                break
+            if changed and "dt" in directives \
+                    and directives["dt"] != sim.config.dt:
+                sim.set_dt(directives["dt"])
+                print(f"control: dt -> {sim.config.dt}")
+            while directives.get("pause") and not directives.get("stop"):
+                time.sleep(0.2)
+                directives = read_control_file(control)
+            if directives.get("stop"):
+                print(f"control: stop at frame {int(sim.frame)}")
+                break
         todo = min(chunk, total - int(sim.frame))
         sim.run(todo)
+        # Re-check residual-capacity occupancy as the scene evolves (a
+        # clustering disc can exceed the fixed caps long after init).
+        sim.check_capacity(when=f"frame {int(sim.frame)}")
         d = sim.diagnostics()
         elapsed = time.perf_counter() - t_start
         sps = int(sim.frame) / max(elapsed, 1e-9)
@@ -204,6 +267,11 @@ def main(argv=None):
     p_run.add_argument("--checkpoint-every", type=int, default=0)
     p_run.add_argument("--checkpoint-dir", default=None)
     p_run.add_argument("--resume", default=None, metavar="CKPT")
+    p_run.add_argument("--control", default=None, metavar="FILE",
+                       help="poll FILE each chunk for runtime control "
+                            "(lines: dt=<float>, pause=0/1, stop=1) — the "
+                            "headless analogue of the reference's live "
+                            "keyboard/slider atomics")
     p_run.set_defaults(fn=cmd_run)
 
     p_r = sub.add_parser("render", help="headless render to frames/video")

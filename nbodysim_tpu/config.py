@@ -64,12 +64,16 @@ class SimConfig:
     # target tiles OOM scoped VMEM at N=1M)
     force_block_targets: int = 256
     force_block_sources: int = 2048
+    # Run Pallas kernels in interpreter mode (CPU testing / the driver's
+    # multi-chip dryrun; never set on real TPU runs).
+    pallas_interpret: bool = False
 
     # Barnes-Hut / multilevel grid backend (physics/barneshut.py).
     # bh_levels <= 0 means auto (finest grid ~1 particle/cell).
     # bh_accept_radius: near Chebyshev radius R; accept cells at cheb >= R.
-    # 0 (default) derives R from `theta` (R ~ 1 + 1/theta: the reference's
-    # theta=1 -> R=2 at ~1e-2 field error; theta=0.5 -> R=3 at ~2e-3).
+    # 0 (default) derives R from `theta` (R ~ 1 + 1/theta) floored at R=3
+    # (~2e-3 uniform field error; only ~15% slower than R=2). Set 2
+    # explicitly for the reference's looser theta=1 fidelity (~1e-2).
     # Heavy point masses are handled exactly regardless.
     bh_levels: int = 0
     bh_accept_radius: int = 0

@@ -3,7 +3,7 @@
 The reference has no serialization at all — sim state dies with the process
 (SURVEY.md §5: no file I/O anywhere in project code). Here: the particle SoA
 plus config are written as a single .npz; resume is bitwise-deterministic
-(test_checkpoint.py gates state equality after save/load/step vs
+(tests/test_render_io.py:55-100 gates state equality after save/load/step vs
 uninterrupted stepping).
 """
 
@@ -76,5 +76,9 @@ def load_checkpoint(
                 "bfloat16": jnp.bfloat16,
             }
             cfg["dtype"] = dtypes[cfg["dtype"]]
-            config = SimConfig(**cfg)
+            # Tolerate same-version schema drift: drop fields this build no
+            # longer has (renamed/removed), let missing ones take defaults —
+            # the version gate only protects against newer formats.
+            names = {f.name for f in dataclasses.fields(SimConfig)}
+            config = SimConfig(**{k: v for k, v in cfg.items() if k in names})
     return state, config

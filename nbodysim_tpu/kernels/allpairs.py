@@ -121,12 +121,15 @@ def allpairs_accelerations(
 
     With `src_pos`/`src_mass`, computes accelerations on `pos` due to those
     sources only — the building block of the multi-chip ring reduction
-    (parallel/sharded.py), where each device streams remote source shards.
+    (parallel/sharded.py), where each device streams remote source shards;
+    the positional `mass` is then unused and may be None.
     Inputs are padded to tile multiples; padded sources carry zero mass so
     they contribute nothing, and padded target rows are sliced off.
     """
     if src_pos is None:
         src_pos, src_mass = pos, mass
+    elif src_mass is None:
+        raise ValueError("src_mass must accompany src_pos")
     n, dim = pos.shape
     n_src = src_pos.shape[0]
     pos = pos.astype(jnp.float32)

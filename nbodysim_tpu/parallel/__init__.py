@@ -5,6 +5,7 @@ from nbodysim_tpu.parallel.sharded import (
     prime_accelerations_sharded,
     ring_accelerations,
 )
+from nbodysim_tpu.parallel.tree import banded_tree_accelerations
 
 __all__ = [
     "make_mesh",
@@ -12,4 +13,5 @@ __all__ = [
     "make_sharded_step",
     "prime_accelerations_sharded",
     "ring_accelerations",
+    "banded_tree_accelerations",
 ]

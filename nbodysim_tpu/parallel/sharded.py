@@ -79,15 +79,19 @@ def _local_acc_fn(config: SimConfig) -> Callable:
     use_pallas = config.force_backend == "pallas" or (
         config.force_backend == "auto" and jax.default_backend() == "tpu"
     )
+    # The positional `mass` argument is the self-interaction source mass and
+    # is unused when src_pos/src_mass are supplied; pass None so any future
+    # change to that contract fails loudly instead of computing wrong forces.
     if use_pallas:
         from nbodysim_tpu.kernels.allpairs import allpairs_accelerations
 
         def acc(tgt_pos, src_pos, src_mass):
             return allpairs_accelerations(
-                tgt_pos, src_mass,
+                tgt_pos, None,
                 eps_sq=config.eps_sq, g_const=config.g_const,
                 block_targets=config.force_block_targets,
                 block_sources=config.force_block_sources,
+                interpret=config.pallas_interpret,
                 src_pos=src_pos, src_mass=src_mass,
             )
     else:
@@ -95,7 +99,7 @@ def _local_acc_fn(config: SimConfig) -> Callable:
 
         def acc(tgt_pos, src_pos, src_mass):
             return direct_accelerations(
-                tgt_pos, src_mass,
+                tgt_pos, None,
                 eps_sq=config.eps_sq, g_const=config.g_const,
                 src_pos=src_pos, src_mass=src_mass,
             )
@@ -130,9 +134,15 @@ def replicated_tree_accelerations(
 def sharded_accelerations(pos_l, mass_l, config: SimConfig,
                           axis_name: str = "shards") -> jax.Array:
     """Backend dispatch for in-shard force evaluation: the exact kernels go
-    through the ring reduction; the tree code uses the replicated build."""
-    if config.force_backend == "bh":
-        return replicated_tree_accelerations(pos_l, mass_l, config, axis_name)
+    through the ring reduction; the tree code through the banded
+    (grid-row-sharded) FMM."""
+    from nbodysim_tpu.physics.forces import resolve_backend
+
+    n_global = pos_l.shape[0] * lax.axis_size(axis_name)
+    if resolve_backend(config, n_global, pos_l.shape[1]) == "bh":
+        from nbodysim_tpu.parallel.tree import banded_tree_accelerations
+
+        return banded_tree_accelerations(pos_l, mass_l, config, axis_name)
     return ring_accelerations(pos_l, mass_l, config, axis_name)
 
 

@@ -1,0 +1,334 @@
+"""Banded multi-chip FMM: the stencil tree code sharded by grid rows.
+
+Round 1's multi-chip tree (`parallel/sharded.py:replicated_tree_
+accelerations`) all-gathered the particles and rebuilt the whole pyramid on
+every device — correct at any mesh size, zero compute scaling. This module
+distributes the tree the TPU way: every pyramid level's rows are statically
+banded across the 1-D mesh, each device runs the heavy stencils (M2L
+V-list, near-field K x K buckets) only on its own band, the (2R-1)-row
+boundary halo moves between ring neighbors by `lax.ppermute` per level, and
+the tiny coarse levels are all-gathered and computed replicated. Per-device
+stencil FLOPs drop P x. (The reference's only analogue is its std::async
+fan-out over body chunks, Simulation.hpp:176-214 — a shared-memory
+work-split; banding the multipole grid is that idea taken to its
+distributed-memory TPU conclusion.)
+
+Why static row bands load-balance even clustered scenes: the M2L and
+near-field stencils are dense over the GRID — their cost per row is fixed
+by (res, cap, R), independent of particle placement. Clustering moves
+particles between cells, not compute between rows. The only O(N) stages
+(global cell sort, bucket scatter, L2P/near gathers) are memory-bound and
+stay replicated in this version; measured at N=1M they are ~10% of the
+single-chip eval (STATUS.md round-1 breakdown).
+
+Exactness: each pairwise/cell contribution is computed on exactly one
+device, accumulated into a full-length [N, D] buffer, and `lax.psum`
+combines the disjoint pieces — every other device contributes exact zeros
+— so the banded result matches the single-chip tree to roundoff
+(scatter-add and blocked-residual orderings differ slightly; gated by
+tests/test_tree_banded.py against `bh_accelerations`).
+
+Decomposition of `physics/barneshut._bh_accelerations` across the mesh:
+
+  heavy coupling        -> local input-shard rows           (post-psum)
+  acc_from_out          -> local input-shard rows           (post-psum)
+  acc_out (on outliers) -> outlier-index range per device   (in psum)
+  far field (M2L+L2L+L2P) -> grid-row band per device       (in psum)
+  near-field buckets    -> grid-row band (+halo sources)    (in psum)
+  overflow residual     -> per-band window overflow sets    (in psum)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.physics.barneshut import (
+    NEAR_CAP,
+    _OVERFLOW_CAP,
+    _bounding_square,
+    _bucket_stencil,
+    _extract_heavy_outliers,
+    _l2l_upsample,
+    _m2l_level,
+    _m2l_stencil,
+    _near_masked_blocked,
+    _resolve_levels,
+    _resolve_radius,
+    heavy_coupling,
+)
+
+
+def banded_tree_accelerations(
+    pos_l: jax.Array,      # [N/P, 2] local targets (inside shard_map)
+    mass_l: jax.Array,     # [N/P]
+    config: SimConfig,
+    axis_name: str = "shards",
+) -> jax.Array:
+    """Multi-chip FMM accelerations for the local shard (see module doc)."""
+    p_dev = lax.axis_size(axis_name)
+    n_l = pos_l.shape[0]
+    n = n_l * p_dev
+    levels = _resolve_levels(config, n)
+    radius = _resolve_radius(config)
+    res = 1 << levels
+    p_halo = 2 * radius - 1
+    # Banding needs a power-of-two mesh whose finest band still holds the
+    # full halo; otherwise (odd meshes, tiny grids) fall back to the
+    # replicated build — correct, just not compute-scaled.
+    if p_dev == 1 or (p_dev & (p_dev - 1)) or res // p_dev < p_halo:
+        from nbodysim_tpu.parallel.sharded import (
+            replicated_tree_accelerations)
+
+        return replicated_tree_accelerations(pos_l, mass_l, config,
+                                             axis_name)
+
+    pos = lax.all_gather(pos_l, axis_name, tiled=True)     # [N, 2]
+    mass = lax.all_gather(mass_l, axis_name, tiled=True)   # [N]
+    return _banded_eval(
+        pos, mass, pos_l, levels=levels, radius=radius,
+        eps_sq=float(config.eps_sq), g_const=float(config.g_const),
+        near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name)
+
+
+def _halo_window(band, p: int, p_dev: int, axis_name: str):
+    """Assemble an M2L row window from a band grid tuple.
+
+    band: k arrays [rb, r]. Returns k arrays [rb + 2p, r + 2p]: the band
+    plus p halo rows from the up/down ring neighbors (zeros at the global
+    boundary — non-participating ppermute edges deliver zeros, exactly the
+    zero padding the single-chip stencil uses) and p zero columns.
+    """
+    down_perm = [(i, i + 1) for i in range(p_dev - 1)]  # recv from my-1
+    up_perm = [(i + 1, i) for i in range(p_dev - 1)]    # recv from my+1
+
+    stacked = jnp.stack(band)                            # [k, rb, r]
+    top = lax.ppermute(stacked[:, -p:, :], axis_name, down_perm)
+    bot = lax.ppermute(stacked[:, :p, :], axis_name, up_perm)
+    win = jnp.concatenate([top, stacked, bot], axis=1)   # [k, rb+2p, r]
+    win = jnp.pad(win, ((0, 0), (0, 0), (p, p)))
+    return tuple(win[i] for i in range(stacked.shape[0]))
+
+
+def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
+                 near_cap, p_dev, n_l, axis_name):
+    from nbodysim_tpu.core.blocking import sorted_first_occurrence
+    from nbodysim_tpu.physics.forces import direct_accelerations
+
+    n = pos.shape[0]
+    my = lax.axis_index(axis_name)
+    res = 1 << levels
+    rb = res // p_dev              # finest band rows
+    p = 2 * radius - 1             # M2L halo rows
+    rr = radius - 1                # near-field halo rows
+    row0 = my * rb
+
+    ext = _extract_heavy_outliers(pos, mass)
+    is_out, out_i, out_sel = ext["is_out"], ext["out_i"], ext["out_sel"]
+    tree_mass, bulk_pos = ext["tree_mass"], ext["bulk_pos"]
+
+    corner, size = _bounding_square(bulk_pos)
+    u = (bulk_pos - corner) / size
+    ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)   # [N, 2]
+    flat = ci[:, 0] * res + ci[:, 1]
+
+    # ---------------- pyramid: banded build + coarse replication --------
+    # Scatter the 6 raw moment fields of ALL particles into my band's rows
+    # (out-of-band indices drop); pool up while the band can still host a
+    # halo; all_gather the coarsest sharded level (tiny) and pool the
+    # replicated remainder.
+    px, py = bulk_pos[:, 0], bulk_pos[:, 1]
+    fields = (tree_mass, tree_mass * px, tree_mass * py,
+              tree_mass * px * px, tree_mass * px * py, tree_mass * py * py)
+    wrow = ci[:, 0] - row0
+    in_rows = (wrow >= 0) & (wrow < rb)
+    bflat = jnp.where(in_rows, wrow * res + ci[:, 1], rb * res)  # OOB drops
+
+    def scat(v):
+        return (jnp.zeros((rb * res,), pos.dtype)
+                .at[bflat].add(v, mode="drop").reshape(rb, res))
+
+    shard_levels = [l for l in range(2, levels + 1)
+                    if (1 << l) % p_dev == 0 and (1 << l) // p_dev >= p]
+    ls = min(shard_levels)         # contiguous {ls..levels} by monotonicity
+
+    band_grids = {levels: tuple(scat(v) for v in fields)}
+    for l in range(levels - 1, ls - 1, -1):
+        r_l = 1 << l
+        rb_l = r_l // p_dev
+        band_grids[l] = tuple(
+            g.reshape(rb_l, 2, r_l, 2).sum((1, 3)) for g in band_grids[l + 1])
+
+    full_grids = {}
+    if ls > 2:
+        full = tuple(lax.all_gather(g, axis_name, tiled=True)
+                     for g in band_grids[ls])             # [2^ls, 2^ls]
+        for l in range(ls - 1, 1, -1):
+            r_l = 1 << l
+            full = tuple(g.reshape(r_l, 2, r_l, 2).sum((1, 3)) for g in full)
+            full_grids[l] = full
+
+    # ---------------- downward pass: M2L + L2L --------------------------
+    local = None
+    for l in range(2, ls):                       # replicated coarse levels
+        terms = _m2l_level(full_grids[l], corner, size, eps_sq, radius)
+        if local is None:
+            local = terms
+        else:
+            up = _l2l_upsample(local, size / (1 << l))
+            local = tuple(u + t for u, t in zip(up, terms))
+
+    for l in range(ls, levels + 1):              # banded levels
+        r_l = 1 << l
+        rb_l = r_l // p_dev
+        row0_l = my * rb_l
+        window = _halo_window(band_grids[l], p, p_dev, axis_name)
+        terms = _m2l_stencil(window, corner, size, r_l, eps_sq, radius,
+                             row0=row0_l, rows=rb_l)
+        if local is None:                        # ls == 2: no coarse prefix
+            local = terms
+        elif l == ls:
+            # Transition: slice my band's parent rows out of the replicated
+            # level-(ls-1) expansion, then re-center to the band's children.
+            rb_par = rb_l // 2
+            par = tuple(
+                lax.dynamic_slice_in_dim(x, my * rb_par, rb_par, axis=0)
+                for x in local)
+            up = _l2l_upsample(par, size / r_l)
+            local = tuple(u + t for u, t in zip(up, terms))
+        else:
+            up = _l2l_upsample(local, size / r_l)
+            local = tuple(u + t for u, t in zip(up, terms))
+
+    # ---------------- L2P on band particles -----------------------------
+    fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = local   # [rb, res]
+    s_l = size / res
+    cellx, celly = ci[:, 0], ci[:, 1]
+    lrow = cellx - row0
+    in_band = (lrow >= 0) & (lrow < rb) & ~is_out
+    lr = jnp.clip(lrow, 0, rb - 1)
+    centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
+    centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
+    dxp = pos[:, 0] - centx
+    dyp = pos[:, 1] - centy
+    hxxx_g = hxxx[lr, celly]
+    hxxy_g = hxxy[lr, celly]
+    hxyy_g = hxyy[lr, celly]
+    hyyy_g = hyyy[lr, celly]
+    far_x = (fx[lr, celly] + jxx[lr, celly] * dxp + jxy[lr, celly] * dyp
+             + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
+                      + hxyy_g * dyp * dyp))
+    far_y = (fy[lr, celly] + jxy[lr, celly] * dxp + jyy[lr, celly] * dyp
+             + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
+                      + hyyy_g * dyp * dyp))
+    far = g_const * jnp.stack([far_x, far_y], axis=-1)
+    contrib = jnp.where(in_band[:, None], far, 0.0)         # [N, 2]
+
+    # ---------------- near field: banded bucket window ------------------
+    # Global cell sort (replicated; identical slot assignment to the
+    # single-chip path), scatter into my band+halo row window, K x K
+    # stencil on band rows only, gather band particles.
+    flat_nf = jnp.where(is_out, res * res + jnp.arange(n), flat)
+    order = jnp.argsort(flat_nf)
+    flat_s = flat_nf[order]
+    first = sorted_first_occurrence(flat_s)
+    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    in_cap = slot < near_cap
+    slot_w = jnp.where(in_cap, slot, near_cap)
+
+    pos_s = pos[order]
+    mass_s = tree_mass[order]
+    ci_s = ci[order]
+    is_bulk_s = flat_s < res * res
+
+    rows_w = rb + 2 * rr
+    wrow_nf = ci_s[:, 0] - row0 + rr
+    in_win = is_bulk_s & (wrow_nf >= 0) & (wrow_nf < rows_w)
+    wflat = jnp.where(in_win, wrow_nf * res + ci_s[:, 1], rows_w * res)
+
+    def nf_scat(vals):
+        return (jnp.zeros((rows_w * res, near_cap), pos.dtype)
+                .at[wflat, slot_w].set(vals, mode="drop")
+                .reshape(rows_w, res, near_cap))
+
+    bx = nf_scat(pos_s[:, 0])
+    by = nf_scat(pos_s[:, 1])
+    bm = nf_scat(jnp.where(in_cap, mass_s, 0.0))
+    accx, accy = _bucket_stencil(bx, by, bm, rr, eps_sq, rb)  # [rb, res, K]
+
+    brow = ci_s[:, 0] - row0
+    g_mask = is_bulk_s & (brow >= 0) & (brow < rb) & in_cap
+    gidx = jnp.clip(brow, 0, rb - 1) * res + ci_s[:, 1]
+    slot_c = jnp.minimum(slot, near_cap - 1)
+    ax_s = jnp.where(g_mask, accx.reshape(rb * res, near_cap)[gidx, slot_c],
+                     0.0)
+    ay_s = jnp.where(g_mask, accy.reshape(rb * res, near_cap)[gidx, slot_c],
+                     0.0)
+    acc_s = jnp.stack([ax_s, ay_s], axis=-1)                  # sorted order
+
+    # ---------------- per-band overflow residual ------------------------
+    # Same structure as the single-chip residual (barneshut.py), band-
+    # decomposed so every (target, overflow-source) DIRECTION is computed
+    # on exactly one device: (b) my-band targets <- window overflow
+    # sources; (c) my-band overflow targets <- all in-cap sources (the
+    # cheb <= rr cell mask keeps both to true near pairs). Capacity is per
+    # band, so the banded tree tolerates P x more clustering than the
+    # single chip before degrading.
+    m_cap = min(n, _OVERFLOW_CAP)
+    over_w = (~in_cap) & in_win
+    n_over = jnp.sum(over_w)
+    tgt_band = is_bulk_s & (brow >= 0) & (brow < rb)
+
+    def residual(acc_s):
+        o_idx = jnp.argsort(~over_w)[:m_cap]    # window overflow first
+        o_valid = over_w[o_idx]
+        o_pos = pos_s[o_idx]
+        o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
+        o_cell = ci_s[o_idx]
+        # (b): my band's targets gain the window-overflow contribution.
+        dp = _near_masked_blocked(pos_s, ci_s, o_pos, o_mass, o_cell,
+                                  eps_sq, rr)
+        acc_s = acc_s + jnp.where(tgt_band[:, None], dp, 0.0)
+        # (c): my band's overflow targets gain the in-cap contribution.
+        o_band = o_valid & (o_cell[:, 0] >= row0) & (o_cell[:, 0] < row0 + rb)
+        cap_mass = jnp.where(in_cap & is_bulk_s, mass_s, 0.0)
+        o_acc = _near_masked_blocked(o_pos, o_cell, pos_s, cap_mass, ci_s,
+                                     eps_sq, rr)
+        return acc_s.at[o_idx].add(jnp.where(o_band[:, None], o_acc, 0.0))
+
+    acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
+
+    inv_order = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+    contrib = contrib + g_const * acc_s[inv_order]
+
+    # ---------------- exact forces ON outliers (index-range sharded) ----
+    k_out = out_i.shape[0]
+    ko_p = -(-k_out // p_dev)
+    idx = my * ko_p + jnp.arange(ko_p)
+    valid = idx < k_out
+    idx_c = jnp.minimum(idx, k_out - 1)
+    oi = out_i[idx_c]
+    non_heavy_mass = jnp.where(ext["is_heavy"], 0.0, mass)
+    acc_out = direct_accelerations(
+        pos[oi], None, eps_sq, g_const, src_pos=pos,
+        src_mass=non_heavy_mass)
+    sel = valid & out_sel[idx_c]
+    contrib = contrib.at[oi].add(jnp.where(sel[:, None], acc_out, 0.0))
+
+    # ---------------- combine: psum disjoint pieces + local terms -------
+    acc_g = lax.psum(contrib, axis_name)
+    acc_l = lax.dynamic_slice_in_dim(acc_g, my * n_l, n_l, axis=0)
+
+    is_out_l = lax.dynamic_slice_in_dim(is_out, my * n_l, n_l, axis=0)
+    out_src_mass = jnp.where(out_sel & ~ext["is_heavy"][out_i],
+                             mass[out_i], 0.0)
+    acc_from_out_l = direct_accelerations(
+        pos_l, None, eps_sq, g_const, src_pos=pos[out_i],
+        src_mass=out_src_mass)
+    acc_heavy_l = heavy_coupling(pos_l, ext["h_pos"], ext["h_mass"],
+                                 eps_sq, g_const)
+    return (acc_l
+            + jnp.where(is_out_l[:, None], 0.0, acc_from_out_l)
+            + acc_heavy_l)

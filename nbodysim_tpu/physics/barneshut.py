@@ -32,7 +32,8 @@ gather:
                  mass so they vanish without masks.
 
 Acceptance radius R (config.bh_accept_radius): R=2 corresponds to the
-reference's theta ~= 1 (Simulation.hpp:59), R=3 (default) to theta ~= 0.5.
+reference's theta ~= 1 (Simulation.hpp:59), R=3 to theta ~= 0.5. The
+derived default is floored at R=3 (accuracy-leaning; see _resolve_radius).
 
 Two exactness safeguards on top of the plain FMM:
   * heavy-hitter extraction — the top-k masses above 0.1% of total mass
@@ -103,26 +104,46 @@ def _build_pyramid(pos, mass, levels: int):
 
 
 def _m2l_level(grids_l, corner, size, eps_sq, radius: int):
-    """V-list stencil at one level -> p=2 local terms (F, J, H) with
-    quadrupole source moments folded into F."""
-    m, wx, wy, rxx, rxy, ryy = grids_l
-    r = m.shape[0]
-    s_l = size / r
-    safe_m = jnp.where(m > 0, m, 1.0)
-    comx = wx / safe_m
-    comy = wy / safe_m
-    # Quadrupole about the COM (dipole vanishes by construction).
-    qxx = rxx - m * comx * comx
-    qxy = rxy - m * comx * comy
-    qyy = ryy - m * comy * comy
+    """V-list stencil at one full level -> p=2 local terms (F, J, H)."""
+    r = grids_l[0].shape[0]
+    p = 2 * radius - 1
+    window = tuple(jnp.pad(g, p) for g in grids_l)
+    return _m2l_stencil(window, corner, size, r, eps_sq, radius,
+                        row0=jnp.int32(0), rows=r)
 
-    # Cell centers in world coordinates.
-    ix = lax.broadcasted_iota(jnp.int32, (r, r), 0).astype(m.dtype)
-    iy = lax.broadcasted_iota(jnp.int32, (r, r), 1).astype(m.dtype)
+
+def _m2l_stencil(window, corner, size, r_full: int, eps_sq, radius: int,
+                 row0, rows: int):
+    """V-list stencil over a row window -> p=2 local terms (F, J, H) with
+    quadrupole source moments folded into F.
+
+    `window`: the 6 raw moment grids, [rows + 2p, r_full + 2p] each
+    (p = 2*radius - 1), holding the `rows` target rows plus p halo rows on
+    each side (real neighbor data or zeros at the global boundary) and p
+    zero columns. `row0` is the global grid row of the first target row
+    (traced; the banded multi-chip path passes my_band * rows). Output
+    terms are [rows, r_full]. The single-chip `_m2l_level` is the
+    rows=r_full, row0=0 instance.
+    """
+    m_w, wx_w, wy_w, rxx_w, rxy_w, ryy_w = window
+    s_l = size / r_full
+    safe_m = jnp.where(m_w > 0, m_w, 1.0)
+    comx = wx_w / safe_m
+    comy = wy_w / safe_m
+    # Quadrupole about the COM (dipole vanishes by construction).
+    qxx = rxx_w - m_w * comx * comx
+    qxy = rxy_w - m_w * comx * comy
+    qyy = ryy_w - m_w * comy * comy
+
+    dtype = m_w.dtype
+    # Target-cell centers in world coordinates (global row = row0 + i).
+    ix = (lax.broadcasted_iota(jnp.int32, (rows, r_full), 0)
+          + row0).astype(dtype)
+    iy = lax.broadcasted_iota(jnp.int32, (rows, r_full), 1).astype(dtype)
     cx = corner[0] + (ix + 0.5) * s_l
     cy = corner[1] + (iy + 0.5) * s_l
-    parx = (lax.broadcasted_iota(jnp.int32, (r, r), 0) & 1)
-    pary = (lax.broadcasted_iota(jnp.int32, (r, r), 1) & 1)
+    parx = ((lax.broadcasted_iota(jnp.int32, (rows, r_full), 0) + row0) & 1)
+    pary = (lax.broadcasted_iota(jnp.int32, (rows, r_full), 1) & 1)
 
     R = radius
     # Static V-list offsets (Chebyshev distance in [R, 2R-1]), iterated with
@@ -136,23 +157,24 @@ def _m2l_level(grids_l, corner, size, eps_sq, radius: int):
         jnp.int32,
     )
     p = 2 * R - 1
-    m_p = jnp.pad(m, p)
-    sx_p = jnp.pad(comx, p)
-    sy_p = jnp.pad(comy, p)
-    qxx_p = jnp.pad(qxx, p)
-    qxy_p = jnp.pad(qxy, p)
-    qyy_p = jnp.pad(qyy, p)
+    m_p = m_w
+    sx_p = comx
+    sy_p = comy
+    qxx_p = qxx
+    qxy_p = qxy
+    qyy_p = qyy
 
     def body(carry, o):
         fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = carry
         ox, oy = o[0], o[1]
         start = (p + ox, p + oy)
-        ms = lax.dynamic_slice(m_p, start, (r, r))
-        sx = lax.dynamic_slice(sx_p, start, (r, r))
-        sy = lax.dynamic_slice(sy_p, start, (r, r))
-        sqxx = lax.dynamic_slice(qxx_p, start, (r, r))
-        sqxy = lax.dynamic_slice(qxy_p, start, (r, r))
-        sqyy = lax.dynamic_slice(qyy_p, start, (r, r))
+        shape = (rows, r_full)
+        ms = lax.dynamic_slice(m_p, start, shape)
+        sx = lax.dynamic_slice(sx_p, start, shape)
+        sy = lax.dynamic_slice(sy_p, start, shape)
+        sqxx = lax.dynamic_slice(qxx_p, start, shape)
+        sqxy = lax.dynamic_slice(qxy_p, start, shape)
+        sqyy = lax.dynamic_slice(qyy_p, start, shape)
         # Boundary ring (cheb == 2R-1): only when the source's parent lies
         # in the parent's near set (exactly-once coverage). Depends only on
         # cell parity — a 2x2 pattern.
@@ -200,7 +222,7 @@ def _m2l_level(grids_l, corner, size, eps_sq, radius: int):
                 hxyy + ms * txyy,
                 hyyy + ms * tyyy), None
 
-    zeros = jnp.zeros_like(m)
+    zeros = jnp.zeros((rows, r_full), dtype)
     out, _ = lax.scan(body, (zeros,) * 9, offsets)
     return out
 
@@ -209,9 +231,14 @@ def _l2l_upsample(local, s_child):
     """Shift parent local expansions to the 4 child centers and upsample.
 
     p=2 re-centering: F' = F + J d + (1/2) d^T H d, J' = J + H d, H' = H.
+
+    Handles rectangular grids too: the banded multi-chip tree upsamples a
+    [rows, cols] row band (parallel/tree.py); the parity trick needs the
+    band's first global row to be even, which banding guarantees (bands
+    start at my * rb with rb even).
     """
     fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = local
-    r = fx.shape[0]
+    r0, r1 = fx.shape
 
     def up(a):
         return jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1)
@@ -220,10 +247,10 @@ def _l2l_upsample(local, s_child):
     jxxu, jxyu, jyyu = up(jxx), up(jxy), up(jyy)
     hxxxu, hxxyu, hxyyu, hyyyu = up(hxxx), up(hxxy), up(hxyy), up(hyyy)
     # Child-center offset from parent center: (+-1/2) s_child by parity.
-    r2 = 2 * r
-    ex = ((lax.broadcasted_iota(jnp.int32, (r2, r2), 0) & 1)
+    shape2 = (2 * r0, 2 * r1)
+    ex = ((lax.broadcasted_iota(jnp.int32, shape2, 0) & 1)
           .astype(fx.dtype) - 0.5) * s_child
-    ey = ((lax.broadcasted_iota(jnp.int32, (r2, r2), 1) & 1)
+    ey = ((lax.broadcasted_iota(jnp.int32, shape2, 1) & 1)
           .astype(fx.dtype) - 0.5) * s_child
     fxc = (fxu + jxxu * ex + jxyu * ey
            + 0.5 * (hxxxu * ex * ex + 2 * hxxyu * ex * ey + hxyyu * ey * ey))
@@ -233,6 +260,97 @@ def _l2l_upsample(local, s_child):
     jxyc = jxyu + hxxyu * ex + hxyyu * ey
     jyyc = jyyu + hxyyu * ex + hyyyu * ey
     return fxc, fyc, jxxc, jxyc, jyyc, hxxxu, hxxyu, hxyyu, hyyyu
+
+
+def _near_masked_blocked(tgt_pos, tgt_cell, src_pos, src_mass, src_cell,
+                         eps_sq, rr1: int):
+    """Near-cell-masked pairwise accs (cheb(cells) <= rr1), blocked over
+    BOTH axes so the pair temp stays [<=2048, <=2048] regardless of set
+    sizes. Shared by the single-chip overflow residual and the banded
+    multi-chip one (parallel/tree.py)."""
+    from nbodysim_tpu.core.blocking import pairwise_blocked
+
+    def kernel(tgt, src):
+        tpb, tcb = tgt
+        spb, smb, scb = src
+        d = spb[None, :, :] - tpb[:, None, :]
+        d_sq = jnp.sum(d * d, axis=-1)
+        cheb = jnp.max(
+            jnp.abs(scb[None, :, :] - tcb[:, None, :]), axis=-1)
+        inv = lax.rsqrt(d_sq + eps_sq)
+        w = smb[None, :] * (inv * inv * inv)
+        # Zero-padded source rows carry mass 0 and are inert.
+        w = jnp.where((cheb <= rr1) & (d_sq > 0.0), w, 0.0)
+        return (jnp.einsum("ts,tsd->td", w, d),)
+
+    (acc,) = pairwise_blocked(
+        kernel, (tgt_pos, tgt_cell), (src_pos, src_mass, src_cell),
+        out_dims=((2,),), dtype=tgt_pos.dtype, bs_t=2048, bs_s=2048)
+    return acc
+
+
+def _bucket_stencil(bx, by, bm, rr: int, eps_sq, center_rows: int):
+    """K x K pair stencil over a dense bucket grid with rr halo rows.
+
+    bx/by/bm: [center_rows + 2*rr, res, cap]. Target cells are the center
+    row slice [rr : rr + center_rows]; the halo rows (zeros at the global
+    boundary / single chip, neighbor-band bucket data in the banded
+    multi-chip path, parallel/tree.py) act as sources only. For each of the
+    (2rr+1)^2 static neighbor offsets, a broadcast K x K pairwise block —
+    pure VPU work, empty slots carry zero mass so they vanish without
+    masks. Returns (accx, accy), [center_rows, res, cap] each (unscaled by
+    g_const).
+    """
+    rows_w, res, cap = bx.shape
+    dtype = bx.dtype
+    tx = lax.slice_in_dim(bx, rr, rr + center_rows)
+    ty = lax.slice_in_dim(by, rr, rr + center_rows)
+
+    offsets = jnp.array(
+        [(ox, oy) for ox in range(-rr, rr + 1) for oy in range(-rr, rr + 1)],
+        jnp.int32,
+    )
+    bx_p = jnp.pad(bx, ((0, 0), (rr, rr), (0, 0)))
+    by_p = jnp.pad(by, ((0, 0), (rr, rr), (0, 0)))
+    bm_p = jnp.pad(bm, ((0, 0), (rr, rr), (0, 0)))
+
+    # Row-chunked K x K pair blocks: a full [rows, res, K, K] temp is
+    # O(rows * res * K^2) (17 GB at r=2048, K=32) — chunk rows so temps
+    # stay ~100 MB.
+    chunk = max(1, min(center_rows, (1 << 26) // max(1, res * cap * cap)))
+    while center_rows % chunk:
+        chunk -= 1
+    n_chunks = center_rows // chunk
+
+    def body(carry, o):
+        accx, accy = carry
+        start = (rr + o[0], rr + o[1], 0)
+        sxg = lax.dynamic_slice(bx_p, start, (center_rows, res, cap))
+        syg = lax.dynamic_slice(by_p, start, (center_rows, res, cap))
+        smg = lax.dynamic_slice(bm_p, start, (center_rows, res, cap))
+
+        def chunk_fn(args):
+            bxc, byc, sxc, syc, smc = args        # [chunk, res, cap]
+            dx = sxc[:, :, None, :] - bxc[:, :, :, None]
+            dy = syc[:, :, None, :] - byc[:, :, :, None]
+            d_sq = dx * dx + dy * dy
+            inv = lax.rsqrt(d_sq + eps_sq)
+            w = smc[:, :, None, :] * (inv * inv * inv)
+            if eps_sq == 0.0:
+                w = jnp.where(d_sq > 0.0, w, 0.0)
+            return jnp.sum(w * dx, axis=-1), jnp.sum(w * dy, axis=-1)
+
+        def chop(a):
+            return a.reshape(n_chunks, chunk, res, cap)
+
+        ax, ay = lax.map(
+            chunk_fn, (chop(tx), chop(ty), chop(sxg), chop(syg), chop(smg)))
+        return (accx + ax.reshape(center_rows, res, cap),
+                accy + ay.reshape(center_rows, res, cap)), None
+
+    zeros = jnp.zeros((center_rows, res, cap), dtype)
+    (accx, accy), _ = lax.scan(body, (zeros, zeros), offsets)
+    return accx, accy
 
 
 def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
@@ -273,49 +391,10 @@ def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     bm = bm.reshape(res, res, cap)
 
     rr = radius - 1
-    offsets = jnp.array(
-        [(ox, oy) for ox in range(-rr, rr + 1) for oy in range(-rr, rr + 1)],
-        jnp.int32,
-    )
-    bx_p = jnp.pad(bx, ((rr, rr), (rr, rr), (0, 0)))
-    by_p = jnp.pad(by, ((rr, rr), (rr, rr), (0, 0)))
-    bm_p = jnp.pad(bm, ((rr, rr), (rr, rr), (0, 0)))
-
-    # Row-chunked K x K pair blocks: a full [r, r, K, K] temp is O(r^2 K^2)
-    # (17 GB at r=2048, K=32) — chunk rows so temps stay ~100 MB.
-    chunk = max(1, min(res, (1 << 26) // max(1, res * cap * cap)))
-    while res % chunk:
-        chunk -= 1
-    n_chunks = res // chunk
-
-    def body(carry, o):
-        accx, accy = carry
-        start = (rr + o[0], rr + o[1], 0)
-        sxg = lax.dynamic_slice(bx_p, start, (res, res, cap))
-        syg = lax.dynamic_slice(by_p, start, (res, res, cap))
-        smg = lax.dynamic_slice(bm_p, start, (res, res, cap))
-
-        def chunk_fn(args):
-            bxc, byc, sxc, syc, smc = args        # [chunk, res, cap]
-            dx = sxc[:, :, None, :] - bxc[:, :, :, None]
-            dy = syc[:, :, None, :] - byc[:, :, :, None]
-            d_sq = dx * dx + dy * dy
-            inv = lax.rsqrt(d_sq + eps_sq)
-            w = smc[:, :, None, :] * (inv * inv * inv)
-            if eps_sq == 0.0:
-                w = jnp.where(d_sq > 0.0, w, 0.0)
-            return jnp.sum(w * dx, axis=-1), jnp.sum(w * dy, axis=-1)
-
-        def chop(a):
-            return a.reshape(n_chunks, chunk, res, cap)
-
-        ax, ay = lax.map(
-            chunk_fn, (chop(bx), chop(by), chop(sxg), chop(syg), chop(smg)))
-        return (accx + ax.reshape(res, res, cap),
-                accy + ay.reshape(res, res, cap)), None
-
-    zeros = jnp.zeros((res, res, cap), pos.dtype)
-    (accx, accy), _ = lax.scan(body, (zeros, zeros), offsets)
+    bx_w = jnp.pad(bx, ((rr, rr), (0, 0), (0, 0)))
+    by_w = jnp.pad(by, ((rr, rr), (0, 0), (0, 0)))
+    bm_w = jnp.pad(bm, ((rr, rr), (0, 0), (0, 0)))
+    accx, accy = _bucket_stencil(bx_w, by_w, bm_w, rr, eps_sq, res)
 
     accx = accx.reshape(res * res, cap)
     accy = accy.reshape(res * res, cap)
@@ -335,27 +414,8 @@ def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     rr1 = radius - 1
 
     def near_masked_blocked(tgt_pos, tgt_cell, src_pos, src_mass, src_cell):
-        """Near-cell-masked pairwise accs, blocked over BOTH axes so the
-        pair temp stays [<=2048, <=2048] regardless of set sizes."""
-        from nbodysim_tpu.core.blocking import pairwise_blocked
-
-        def kernel(tgt, src):
-            tpb, tcb = tgt
-            spb, smb, scb = src
-            d = spb[None, :, :] - tpb[:, None, :]
-            d_sq = jnp.sum(d * d, axis=-1)
-            cheb = jnp.max(
-                jnp.abs(scb[None, :, :] - tcb[:, None, :]), axis=-1)
-            inv = lax.rsqrt(d_sq + eps_sq)
-            w = smb[None, :] * (inv * inv * inv)
-            # Zero-padded source rows carry mass 0 and are inert.
-            w = jnp.where((cheb <= rr1) & (d_sq > 0.0), w, 0.0)
-            return (jnp.einsum("ts,tsd->td", w, d),)
-
-        (acc,) = pairwise_blocked(
-            kernel, (tgt_pos, tgt_cell), (src_pos, src_mass, src_cell),
-            out_dims=((2,),), dtype=tgt_pos.dtype, bs_t=2048, bs_s=2048)
-        return acc
+        return _near_masked_blocked(tgt_pos, tgt_cell, src_pos, src_mass,
+                                    src_cell, eps_sq, rr1)
 
     def residual(acc_s):
         over = ~in_cap
@@ -381,17 +441,35 @@ def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
 _HEAVY_K = 64  # max heavy bodies handled by exact direct interaction
 
 
-@functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
-                                             "near_cap", "radius"))
-def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
-                      near_cap: int, radius: int):
+def _extract_heavy_outliers(pos, mass):
+    """Shared heavy-hitter + outlier extraction (used by the force path,
+    the occupancy diagnostic, and the banded multi-chip tree — one
+    implementation so the three can never desynchronize).
+
+    Heavy-hitter extraction: dominant point masses (black holes, galaxy
+    nuclei) wreck the cell-centered local expansion — their (cell/d)^2
+    truncation term scales with their huge force. The top-k masses above
+    0.1% of the total leave the tree and couple to everything exactly
+    ([N, K] direct pairs, trivial cost). The remaining field is smooth,
+    which is what an FMM is good at.
+
+    Outlier extraction: centrally concentrated scenes (Plummer spheres
+    have sampled radii out to ~1000 scale lengths) would otherwise set a
+    bounding box 100-1000x larger than the bulk, collapsing the core
+    into a handful of cells and swamping the near-field buckets. The
+    k_out most distant particles (Chebyshev distance from the field COM)
+    leave the tree: the grid is built over the remaining bulk, and
+    outliers get exact forces from everything. Distant HEAVY bodies also
+    leave the grid (an ejected black hole would otherwise inflate the
+    bounding square); they keep exact treatment either way.
+
+    Returns a dict with: is_heavy [N], h_pos [K,2], h_mass [K] (zeroed
+    where unselected), field_mass [N] (heavies zeroed), is_out [N],
+    out_i [k_out], out_sel [k_out], com [2], tree_mass [N] (heavies and
+    outliers zeroed — what the pyramid sees), bulk_pos [N,2] (outliers
+    parked at the COM so they cannot stretch the bounding square).
+    """
     n = pos.shape[0]
-    # Heavy-hitter extraction: dominant point masses (black holes, galaxy
-    # nuclei) wreck the cell-centered local expansion — their (cell/d)^2
-    # truncation term scales with their huge force. Pull the top-k masses
-    # above 0.1% of the total out of the tree and couple them to everything
-    # exactly ([N, K] direct pairs, trivial cost). The remaining field is
-    # smooth, which is what an FMM is good at.
     k = min(_HEAVY_K, n)
     top_m, top_i = lax.top_k(mass, k)
     heavy_sel = top_m >= 1e-3 * jnp.sum(mass)
@@ -400,39 +478,54 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     is_heavy = jnp.zeros((n,), bool).at[top_i].set(heavy_sel)
     field_mass = jnp.where(is_heavy, 0.0, mass)
 
-    d_h = h_pos[None, :, :] - pos[:, None, :]              # [N, K, 2]
-    d_sq_h = jnp.sum(d_h * d_h, axis=-1)
-    inv_h = lax.rsqrt(d_sq_h + eps_sq)
-    w_h = h_mass[None, :] * (inv_h * inv_h * inv_h)
-    w_h = jnp.where(d_sq_h > 0.0, w_h, 0.0)
-    acc_heavy = g_const * jnp.einsum("nk,nkd->nd", w_h, d_h)
-
-    # Outlier extraction: centrally concentrated scenes (Plummer spheres
-    # have sampled radii out to ~1000 scale lengths) would otherwise set a
-    # bounding box 100-1000x larger than the bulk, collapsing the core
-    # into a handful of cells and swamping the near-field buckets. The
-    # k_out most distant particles (Chebyshev distance from the field COM)
-    # leave the tree: the grid is built over the remaining bulk, and
-    # outliers get exact forces from everything ([k_out, N] blocked pass).
     k_out = min(_OUTLIER_CAP, max(n // 16, 1))
     total_fm = jnp.maximum(jnp.sum(field_mass), 1e-30)
     com = jnp.sum(field_mass[:, None] * pos, axis=0) / total_fm
     cheb_dist = jnp.max(jnp.abs(pos - com), axis=1)
     _, out_i = lax.top_k(cheb_dist, k_out)
     is_out = jnp.zeros((n,), bool).at[out_i].set(True)
-    # Distant HEAVY bodies must also leave the grid (an ejected black hole
-    # would otherwise inflate the bounding square and collapse the bulk
-    # into a handful of cells); they keep exact treatment either way —
-    # their force on others via acc_heavy, forces on them via acc_out.
+    out_sel = is_out[out_i]
+
+    tree_mass = jnp.where(is_out, 0.0, field_mass)
+    bulk_pos = jnp.where(is_out[:, None], com[None, :], pos)
+    return dict(
+        is_heavy=is_heavy, h_pos=h_pos, h_mass=h_mass,
+        field_mass=field_mass, is_out=is_out, out_i=out_i, out_sel=out_sel,
+        com=com, tree_mass=tree_mass, bulk_pos=bulk_pos,
+    )
+
+
+def heavy_coupling(tgt_pos, h_pos, h_mass, eps_sq, g_const):
+    """Exact [T, K] direct interaction of targets with the extracted heavy
+    bodies (self-pairs vanish via the d_sq > 0 guard)."""
+    d_h = h_pos[None, :, :] - tgt_pos[:, None, :]          # [T, K, 2]
+    d_sq_h = jnp.sum(d_h * d_h, axis=-1)
+    inv_h = lax.rsqrt(d_sq_h + eps_sq)
+    w_h = h_mass[None, :] * (inv_h * inv_h * inv_h)
+    w_h = jnp.where(d_sq_h > 0.0, w_h, 0.0)
+    return g_const * jnp.einsum("nk,nkd->nd", w_h, d_h)
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
+                                             "near_cap", "radius"))
+def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
+                      near_cap: int, radius: int):
+    n = pos.shape[0]
+    ext = _extract_heavy_outliers(pos, mass)
+    is_heavy, h_pos, h_mass = ext["is_heavy"], ext["h_pos"], ext["h_mass"]
+    field_mass, is_out, out_i = (
+        ext["field_mass"], ext["is_out"], ext["out_i"])
+    out_sel, com = ext["out_sel"], ext["com"]
+
+    acc_heavy = heavy_coupling(pos, h_pos, h_mass, eps_sq, g_const)
 
     # Exact forces ON outliers from all non-heavy sources (heavy forces on
     # them come from acc_heavy; other outliers are included here).
     from nbodysim_tpu.physics.forces import direct_accelerations
 
     acc_out = direct_accelerations(
-        pos[out_i], mass, eps_sq, g_const,
+        pos[out_i], None, eps_sq, g_const,
         src_pos=pos, src_mass=jnp.where(is_heavy, 0.0, mass))
-    out_sel = is_out[out_i]
     # As sources toward the bulk, outliers must not re-contribute heavy
     # mass (acc_heavy already covers every heavy source).
     out_src_mass = jnp.where(out_sel & ~is_heavy[out_i], mass[out_i], 0.0)
@@ -441,11 +534,11 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     # this term are discarded below — their exact pass already includes
     # outlier-outlier interactions).
     acc_from_out = direct_accelerations(
-        pos, mass, eps_sq, g_const,
+        pos, None, eps_sq, g_const,
         src_pos=pos[out_i], src_mass=out_src_mass)
 
-    mass = jnp.where(is_out, 0.0, field_mass)  # the tree sees only the bulk
-    bulk_pos = jnp.where(is_out[:, None], com[None, :], pos)
+    mass = ext["tree_mass"]      # the tree sees only the bulk
+    bulk_pos = ext["bulk_pos"]
     grids, corner, size, ci, flat = _build_pyramid(bulk_pos, mass, levels)
 
     # Downward pass: M2L at each level + L2L to the next.
@@ -512,22 +605,10 @@ def bh_near_overflow(pos: jax.Array, mass: jax.Array,
     levels = _resolve_levels(config, n)
     res = 1 << levels
 
-    k = min(_HEAVY_K, n)
-    top_m, top_i = lax.top_k(mass, k)
-    heavy_sel = top_m >= 1e-3 * jnp.sum(mass)
-    is_heavy = jnp.zeros((n,), bool).at[top_i].set(heavy_sel)
-    field_mass = jnp.where(is_heavy, 0.0, mass)
-
-    k_out = min(_OUTLIER_CAP, max(n // 16, 1))
-    total_fm = jnp.maximum(jnp.sum(field_mass), 1e-30)
-    com = jnp.sum(field_mass[:, None] * pos, axis=0) / total_fm
-    cheb_dist = jnp.max(jnp.abs(pos - com), axis=1)
-    _, out_i = lax.top_k(cheb_dist, k_out)
-    is_out = jnp.zeros((n,), bool).at[out_i].set(True)
-
-    bulk_pos = jnp.where(is_out[:, None], com[None, :], pos)
-    _, _, _, _, flat = _build_pyramid(bulk_pos, field_mass, levels)
-    flat_nf = jnp.where(is_out, res * res + jnp.arange(n), flat)
+    ext = _extract_heavy_outliers(pos, mass)
+    _, _, _, _, flat = _build_pyramid(ext["bulk_pos"], ext["tree_mass"],
+                                      levels)
+    flat_nf = jnp.where(ext["is_out"], res * res + jnp.arange(n), flat)
 
     flat_s = jnp.sort(flat_nf)
     first = sorted_first_occurrence(flat_s)
@@ -565,8 +646,11 @@ def bh_accelerations(pos: jax.Array, mass: jax.Array,
 
 def _resolve_radius(config: SimConfig) -> int:
     """Acceptance radius; bh_accept_radius=0 derives it from the classic
-    opening angle theta (R ~ 1 + 1/theta: theta=1 -> 2, 0.5 -> 3)."""
+    opening angle theta (R ~ 1 + 1/theta), floored at R=3 (~2e-3 uniform
+    field error) — defaults lean accurate since R=3 costs only ~15% over
+    R=2 (2.1e12 vs 2.4e12 pairs-equiv/s at N=1M). Set bh_accept_radius=2
+    explicitly for the reference's looser theta=1 fidelity (~1e-2)."""
     r = config.bh_accept_radius
     if r <= 0:
-        r = int(round(1.0 + 1.0 / max(config.theta, 0.25)))
+        r = max(3, int(round(1.0 + 1.0 / max(config.theta, 0.25))))
     return max(2, min(5, r))

@@ -68,10 +68,13 @@ def direct_accelerations(
     """Exact O(N^2) softened gravity, evaluated in row blocks.
 
     If `src_pos`/`src_mass` are given, computes accelerations on `pos` due to
-    those sources only (used by the sharded ring reduction in parallel/).
+    those sources only (used by the sharded ring reduction in parallel/);
+    the positional `mass` is then unused and may be None.
     """
     if src_pos is None:
         src_pos, src_mass = pos, mass
+    elif src_mass is None:
+        raise ValueError("src_mass must accompany src_pos")
     n = pos.shape[0]
     n_src = src_pos.shape[0]
     if n <= block_size and n_src <= 2 * block_size:
@@ -194,17 +197,32 @@ def potential_energy(
     return -0.5 * g_const * jnp.sum(per_block)
 
 
+# Measured exact-vs-tree crossover on one v5e chip (round 1): the stencil
+# FMM at default R=3 beats the exact Pallas kernel for N above ~200k
+# (N=262k: FMM ~0.13 s vs exact ~0.34 s; at N=131k they tie). Below it the
+# exact kernel wins and is, well, exact.
+BH_AUTO_THRESHOLD = 200_000
+
+
+def resolve_backend(config: SimConfig, n: int, dim: int) -> str:
+    """Resolve 'auto' to a concrete backend: the tree code for large 2D
+    systems (past the measured crossover), the exact all-pairs kernels
+    below it (Pallas on TPU, blocked XLA elsewhere)."""
+    backend = config.force_backend
+    if backend != "auto":
+        return backend
+    if dim == 2 and n >= BH_AUTO_THRESHOLD:
+        return "bh"
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
 def compute_accelerations(
     pos: jax.Array,
     mass: jax.Array,
     config: SimConfig,
 ) -> jax.Array:
     """Dispatch to the configured force backend."""
-    backend = config.force_backend
-    if backend == "auto":
-        # Pallas on TPU; XLA elsewhere (CPU tests, interpret-unfriendly sizes).
-        on_tpu = jax.default_backend() == "tpu"
-        backend = "pallas" if on_tpu else "xla"
+    backend = resolve_backend(config, pos.shape[0], pos.shape[1])
     if backend == "pallas":
         from nbodysim_tpu.kernels.allpairs import allpairs_accelerations
 
@@ -214,6 +232,7 @@ def compute_accelerations(
             g_const=config.g_const,
             block_targets=config.force_block_targets,
             block_sources=config.force_block_sources,
+            interpret=config.pallas_interpret,
         )
     if backend == "bh":
         from nbodysim_tpu.physics.barneshut import bh_accelerations

@@ -78,3 +78,89 @@ def test_set_dt_rebuilds_step():
     assert sim.dt == 0.005
     sim.step()
     assert sim.frame == 2
+
+
+def test_resolve_backend_crossover():
+    """'auto' switches exact -> tree at the measured ~200k crossover
+    (2D only; 3D has no tree backend)."""
+    from nbodysim_tpu.physics.forces import BH_AUTO_THRESHOLD, resolve_backend
+
+    cfg = nb.SimConfig()
+    assert resolve_backend(cfg, 25_000, 2) in ("pallas", "xla")
+    assert resolve_backend(cfg, BH_AUTO_THRESHOLD, 2) == "bh"
+    assert resolve_backend(cfg, 1_000_000, 3) != "bh"
+    assert resolve_backend(cfg.replace(force_backend="xla"),
+                           1_000_000, 2) == "xla"
+
+
+def test_bh_default_radius_leans_accurate():
+    """VERDICT item 4: the derived acceptance radius is floored at R=3
+    (~2e-3 field error); an explicit bh_accept_radius still wins."""
+    from nbodysim_tpu.physics.barneshut import _resolve_radius
+
+    assert _resolve_radius(nb.SimConfig()) == 3               # theta=1
+    assert _resolve_radius(nb.SimConfig(theta=0.25)) == 5
+    assert _resolve_radius(nb.SimConfig(bh_accept_radius=2)) == 2
+
+
+def test_checkpoint_schema_drift(tmp_path):
+    """Unknown config keys in an old checkpoint are dropped instead of
+    crashing SimConfig(**cfg) (ADVICE round 1)."""
+    import json
+
+    import numpy as onp
+
+    from nbodysim_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg = nb.SimConfig(n=16, force_backend="xla")
+    state = nb.init_scene("plummer", cfg)
+    path = save_checkpoint(str(tmp_path / "ck"), state, cfg)
+
+    # Inject a bogus (removed/renamed) field into the stored config.
+    with onp.load(path) as z:
+        payload = {k: z[k] for k in z.files}
+    stored = json.loads(bytes(payload["config_json"]).decode())
+    stored["some_removed_field"] = 42
+    payload["config_json"] = onp.frombuffer(
+        json.dumps(stored).encode(), dtype=onp.uint8)
+    onp.savez(path, **payload)
+
+    state2, cfg2 = load_checkpoint(path)
+    assert cfg2 is not None and cfg2.n == 16
+    np.testing.assert_array_equal(np.asarray(state2.pos),
+                                  np.asarray(state.pos))
+
+
+def test_control_file_parsing(tmp_path):
+    from nbodysim_tpu.cli import read_control_file
+
+    f = tmp_path / "ctl"
+    assert read_control_file(str(f)) == {}
+    f.write_text("# retune\n dt = 0.005 \npause=0\nstop=1\njunk\nx=1\n")
+    d = read_control_file(str(f))
+    assert d == {"dt": 0.005, "pause": False, "stop": True}
+
+
+def test_control_stop_in_cli_run(tmp_path, capsys):
+    """The run loop honors a pre-existing stop directive."""
+    from nbodysim_tpu.cli import main
+
+    ctl = tmp_path / "ctl"
+    ctl.write_text("stop=1\n")
+    main(["run", "--scene", "plummer", "--n", "32", "--steps", "500",
+          "--log-every", "10", "--backend", "xla",
+          "--control", str(ctl)])
+    outp = capsys.readouterr().out
+    assert "control: stop" in outp
+
+
+def test_control_dt_change_applies(tmp_path, capsys):
+    from nbodysim_tpu.cli import main
+
+    ctl = tmp_path / "ctl"
+    ctl.write_text("dt=0.002\n")
+    main(["run", "--scene", "plummer", "--n", "32", "--steps", "20",
+          "--log-every", "10", "--backend", "xla",
+          "--control", str(ctl)])
+    outp = capsys.readouterr().out
+    assert "control: dt -> 0.002" in outp
