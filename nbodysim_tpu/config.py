@@ -56,6 +56,9 @@ class SimConfig:
     collision_iterations: int = 1        # Jacobi sweeps per step (1 = ref-like)
     collision_max_neighbors: int = 16    # grid bucket capacity at large N
     collision_grid_res: int = 512        # bucket grid cells/axis (2D path)
+    # Narrow-phase backend for the dense (N <= 64k) pass: "auto" uses the
+    # Pallas kernel on TPU (kernels/collide.py) and blocked XLA elsewhere.
+    collision_backend: str = "auto"      # "auto" | "pallas" | "xla"
 
     # Force backend: "auto" | "pallas" | "xla" | "bh" (Barnes-Hut)
     force_backend: str = "auto"
@@ -94,6 +97,9 @@ class SimConfig:
             raise ValueError(f"unknown integrator {self.integrator!r}")
         if self.force_backend not in ("auto", "pallas", "xla", "bh"):
             raise ValueError(f"unknown force backend {self.force_backend!r}")
+        if self.collision_backend not in ("auto", "pallas", "xla"):
+            raise ValueError(
+                f"unknown collision backend {self.collision_backend!r}")
 
     @property
     def eps_sq(self) -> float:

@@ -1,0 +1,238 @@
+"""Pallas near-field bucket kernel — the FMM's sorted-slab hot path.
+
+The FMM near field (physics/barneshut.py) resolves the (2R-1)^2 finest-cell
+neighborhood particle-particle on a dense bucket grid [rows, res, K]. The
+XLA stencil formulation materializes K x K broadcast temps through HBM per
+neighbor offset (measured 366 ms of the 533 ms N=1M eval in round 1); this
+kernel keeps the whole pair pipeline in VMEM.
+
+Layout: buckets are flattened SLOT-MAJOR into [K, F] with row stride
+S = res + 2*rr (columns pre-padded by the halo), so a neighbor-cell offset
+(dr, dc) is the flat shift dr*S + dc — every slab a kernel tile needs is a
+CONTIGUOUS slice of the flat axis (the "sorted-slab" idea: cell-sorted
+storage makes neighborhoods contiguous). Each program:
+
+  1. DMAs the (2rr+1) row-shifted slabs [K, C + 2rr] per field from HBM
+     into VMEM scratch (pltpu.make_async_copy; all slabs in flight at
+     once, then one wait);
+  2. for each target slot i (lax.fori_loop) and each of the (2rr+1)^2
+     static offsets, computes the [K, C] source-slot pair block against
+     the [1, C] target row and reduces over source slots — pure VPU f32,
+     ~13 ops/pair, no HBM traffic;
+  3. writes the [K, C] per-slot accelerations through the blocked output.
+
+Empty slots carry zero mass and vanish without masks; the self pair
+(offset 0, i == j) has dx = dy = 0 so it contributes nothing (eps > 0).
+Gated bit-for-bit-ish against the XLA stencil in tests/test_barneshut.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# Lane-aligned lead margin of each DMA'd slab: the column-shift halo rides
+# inside this margin so HBM slice starts stay multiples of 128.
+_LEAD = 128
+
+
+def _nearfield_kernel(
+    bx_hbm, by_hbm, bm_hbm,      # [K, F/128, 128] in ANY (HBM)
+    outx_ref, outy_ref,          # [K, C] blocked output (VMEM, revisited)
+    sx, sy, sm,                  # window scratch [K, WB, 128] each (VMEM)
+    st,                          # target slab scratch [2, K, WB, 128]
+    sems,                        # DMA semaphores [5]
+    *,
+    cap: int,
+    rr: int,
+    stride: int,
+    tile: int,
+    t0: int,
+    eps_sq: float,
+):
+    # Grid = (flat tiles, 2rr+1 row shifts). The row-shift loop lives in
+    # the grid — unrolling all (2rr+1)^2 offsets in one program OOMed the
+    # compile helper — so each program DMAs ONE row-shifted slab and
+    # unrolls only the 2rr+1 column shifts, accumulating into the
+    # revisited output tile.
+    i = pl.program_id(0)
+    j = pl.program_id(1)                 # row shift dr = j - rr
+    # The flat axis arrives as [K, F/128, 128]: DMA windows slice the
+    # untiled middle axis at whole-lane-block indices (dynamically slicing
+    # the tiled lane axis of an HBM memref crashes the Mosaic compiler).
+    # Every window start is a sum of 128-multiples (t0, tile, stride, and
+    # the lead margin are aligned by the wrapper); the +-rr column shifts
+    # happen on the VMEM scratch as static sub-lane slices instead.
+    base = t0 + i * tile - _LEAD
+    w_blocks = (tile + 2 * _LEAD) // 128
+
+    dmas = []
+    start = (base + (j - rr) * stride) // 128
+    for f, (hbm, scr) in enumerate(
+            ((bx_hbm, sx), (by_hbm, sy), (bm_hbm, sm))):
+        dma = pltpu.make_async_copy(
+            hbm.at[:, pl.ds(start, w_blocks), :], scr.at[0], sems.at[f])
+        dma.start()
+        dmas.append(dma)
+
+    # Target slab: fetched once per tile (at the first row shift) into
+    # persistent scratch; scratch survives across grid steps.
+    @pl.when(j == 0)
+    def _fetch_targets():
+        for f, hbm in enumerate((bx_hbm, by_hbm)):
+            dma = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(base // 128, w_blocks), :],
+                st.at[f],
+                sems.at[3 + f])
+            dma.start()
+            dma.wait()
+
+    for dma in dmas:
+        dma.wait()
+
+    def win(scr):
+        return scr[0].reshape(cap, w_blocks * 128)
+
+    # Per column shift, a full [K_tgt, K_src, C] pair block reduced over
+    # source slots — static slices and 3D broadcasts (a per-slot loop with
+    # dynamic sublane slicing lowered to vector rotates and ran slower
+    # than the XLA stencil).
+    tx = st[0].reshape(cap, w_blocks * 128)[:, _LEAD:_LEAD + tile]  # [K, C]
+    ty = st[1].reshape(cap, w_blocks * 128)[:, _LEAD:_LEAD + tile]
+    txb = tx[:, None, :]                               # [K, 1, C]
+    tyb = ty[:, None, :]
+    accx = jnp.zeros((cap, tile), jnp.float32)
+    accy = jnp.zeros((cap, tile), jnp.float32)
+    sxw = win(sx)
+    syw = win(sy)
+    smw = win(sm)
+    for dc in range(-rr, rr + 1):
+        sxs = sxw[:, _LEAD + dc:_LEAD + dc + tile][None, :, :]
+        sys_ = syw[:, _LEAD + dc:_LEAD + dc + tile][None, :, :]
+        sms = smw[:, _LEAD + dc:_LEAD + dc + tile][None, :, :]
+        dx = sxs - txb                                 # [K, K, C]
+        dy = sys_ - tyb
+        d_sq = dx * dx + dy * dy
+        inv = lax.rsqrt(d_sq + eps_sq)
+        wgt = sms * (inv * inv * inv)
+        if eps_sq == 0.0:
+            wgt = jnp.where(d_sq > 0.0, wgt, 0.0)
+        accx = accx + jnp.sum(wgt * dx, axis=1)
+        accy = accy + jnp.sum(wgt * dy, axis=1)
+
+    @pl.when(j == 0)
+    def _init():
+        outx_ref[:] = jnp.zeros_like(outx_ref)
+        outy_ref[:] = jnp.zeros_like(outy_ref)
+
+    outx_ref[:] += accx
+    outy_ref[:] += accy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rr", "eps_sq", "center_rows", "tile", "interpret"),
+)
+def bucket_stencil_pallas(
+    bx: jax.Array,     # [center_rows + 2rr, res, K] bucket positions x
+    by: jax.Array,
+    bm: jax.Array,     # zero mass = empty slot
+    *,
+    rr: int,
+    eps_sq: float,
+    center_rows: int,
+    tile: int = 1024,   # [K, K, tile] pair blocks: 1 MB temps in VMEM
+    interpret: bool = False,
+):
+    """Drop-in Pallas replacement for barneshut._bucket_stencil: same
+    [rows + 2rr halo, res, K] input layout, returns (accx, accy) as
+    [center_rows, res, K] (unscaled by g_const)."""
+    rows_w, res, cap = bx.shape
+    f32 = jnp.float32
+    # Row stride rounded to the 128-lane tile so dr*stride keeps DMA
+    # starts aligned (the extra columns are zero padding).
+    stride = _cdiv(res + 2 * rr, 128) * 128
+    nw = 2 * rr + 1
+
+    region = center_rows * stride
+    c = max(128, min(tile, 1 << (max(region, 2) - 1).bit_length()))
+    ntiles = _cdiv(region, c)
+    # Flat layout [K, F]: element (row_w, col) at lead + row_w*stride +
+    # col + rr, lead = _LEAD (aligned; also hosts the leftmost column
+    # shift). First target (center row rr, padded col 0) sits at t0.
+    t0 = _LEAD + rr * stride
+    f_len = max(_LEAD + rows_w * stride,
+                t0 + ntiles * c + rr * stride + _LEAD) + _LEAD
+
+    f_len = _cdiv(f_len, 128) * 128
+
+    def to_flat(a):
+        a = jnp.pad(a.astype(f32),
+                    ((0, 0), (rr, stride - res - rr), (0, 0)))
+        a = a.reshape(rows_w * stride, cap).T          # [K, rows_w*stride]
+        a = jnp.pad(a, ((0, 0), (_LEAD, f_len - _LEAD - rows_w * stride)))
+        return a.reshape(cap, f_len // 128, 128)
+
+    bx_f = to_flat(bx)
+    by_f = to_flat(by)
+    bm_f = to_flat(bm)
+
+    kernel = functools.partial(
+        _nearfield_kernel, cap=cap, rr=rr, stride=stride, tile=c, t0=t0,
+        eps_sq=float(eps_sq))
+
+    pairs = center_rows * res * cap * cap * nw * nw
+    wb = (c + 2 * _LEAD) // 128
+    outx, outy = pl.pallas_call(
+        kernel,
+        grid=(ntiles, nw),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((cap, c), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cap, c), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((cap, ntiles * c), f32),
+            jax.ShapeDtypeStruct((cap, ntiles * c), f32),
+        ],
+        scratch_shapes=[
+            # Leading unit dim: DMA destinations are .at[0] views — a
+            # plain 3D scratch destination faulted the TPU worker.
+            pltpu.VMEM((1, cap, wb, 128), f32),
+            pltpu.VMEM((1, cap, wb, 128), f32),
+            pltpu.VMEM((1, cap, wb, 128), f32),
+            pltpu.VMEM((2, cap, wb, 128), f32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=13 * pairs,
+            bytes_accessed=3 * cap * f_len * 4 * nw + 2 * cap * region * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(bx_f, by_f, bm_f)
+
+    def from_flat(o):
+        o = o[:, :region].T.reshape(center_rows, stride, cap)
+        return o[:, rr:rr + res, :]
+
+    return from_flat(outx), from_flat(outy)

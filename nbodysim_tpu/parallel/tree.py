@@ -49,12 +49,13 @@ from nbodysim_tpu.physics.barneshut import (
     NEAR_CAP,
     _OVERFLOW_CAP,
     _bounding_square,
-    _bucket_stencil,
+    _bucket_stencil_dispatch,
     _extract_heavy_outliers,
     _l2l_upsample,
     _m2l_level,
     _m2l_stencil,
     _near_masked_blocked,
+    _nf_use_pallas,
     _resolve_levels,
     _resolve_radius,
     heavy_coupling,
@@ -90,7 +91,8 @@ def banded_tree_accelerations(
     return _banded_eval(
         pos, mass, pos_l, levels=levels, radius=radius,
         eps_sq=float(config.eps_sq), g_const=float(config.g_const),
-        near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name)
+        near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name,
+        nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret)
 
 
 def _halo_window(band, p: int, p_dev: int, axis_name: str):
@@ -113,7 +115,8 @@ def _halo_window(band, p: int, p_dev: int, axis_name: str):
 
 
 def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
-                 near_cap, p_dev, n_l, axis_name):
+                 near_cap, p_dev, n_l, axis_name,
+                 nf_pallas=False, interpret=False):
     from nbodysim_tpu.core.blocking import sorted_first_occurrence
     from nbodysim_tpu.physics.forces import direct_accelerations
 
@@ -256,7 +259,8 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
     bx = nf_scat(pos_s[:, 0])
     by = nf_scat(pos_s[:, 1])
     bm = nf_scat(jnp.where(in_cap, mass_s, 0.0))
-    accx, accy = _bucket_stencil(bx, by, bm, rr, eps_sq, rb)  # [rb, res, K]
+    accx, accy = _bucket_stencil_dispatch(
+        bx, by, bm, rr, eps_sq, rb, nf_pallas, interpret)  # [rb, res, K]
 
     brow = ci_s[:, 0] - row0
     g_mask = is_bulk_s & (brow >= 0) & (brow < rb) & in_cap

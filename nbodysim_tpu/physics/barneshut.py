@@ -353,8 +353,22 @@ def _bucket_stencil(bx, by, bm, rr: int, eps_sq, center_rows: int):
     return accx, accy
 
 
+def _bucket_stencil_dispatch(bx, by, bm, rr, eps_sq, center_rows,
+                             use_pallas: bool, interpret: bool):
+    """XLA stencil (the oracle / CPU path) or the Pallas slab kernel
+    (kernels/nearfield.py, the TPU hot path) — same contract."""
+    if use_pallas and rr >= 1:
+        from nbodysim_tpu.kernels.nearfield import bucket_stencil_pallas
+
+        return bucket_stencil_pallas(
+            bx, by, bm, rr=rr, eps_sq=eps_sq, center_rows=center_rows,
+            interpret=interpret)
+    return _bucket_stencil(bx, by, bm, rr, eps_sq, center_rows)
+
+
 def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
-                        cap: int, radius: int):
+                        cap: int, radius: int,
+                        use_pallas: bool = False, interpret: bool = False):
     """Particle-particle near field on a dense [r, r, cap] bucket grid.
 
     Returns (acc [N, 2], overflow_count)."""
@@ -394,7 +408,8 @@ def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     bx_w = jnp.pad(bx, ((rr, rr), (0, 0), (0, 0)))
     by_w = jnp.pad(by, ((rr, rr), (0, 0), (0, 0)))
     bm_w = jnp.pad(bm, ((rr, rr), (0, 0), (0, 0)))
-    accx, accy = _bucket_stencil(bx_w, by_w, bm_w, rr, eps_sq, res)
+    accx, accy = _bucket_stencil_dispatch(
+        bx_w, by_w, bm_w, rr, eps_sq, res, use_pallas, interpret)
 
     accx = accx.reshape(res * res, cap)
     accy = accy.reshape(res * res, cap)
@@ -507,9 +522,11 @@ def heavy_coupling(tgt_pos, h_pos, h_mass, eps_sq, g_const):
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
-                                             "near_cap", "radius"))
+                                             "near_cap", "radius",
+                                             "nf_pallas", "interpret"))
 def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
-                      near_cap: int, radius: int):
+                      near_cap: int, radius: int,
+                      nf_pallas: bool = False, interpret: bool = False):
     n = pos.shape[0]
     ext = _extract_heavy_outliers(pos, mass)
     is_heavy, h_pos, h_mass = ext["is_heavy"], ext["h_pos"], ext["h_mass"]
@@ -583,7 +600,8 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     # (garbage) rows are replaced below.
     flat_nf = jnp.where(is_out, res * res + jnp.arange(n), flat)
     near, overflow = _near_field_buckets(
-        pos, mass, ci, flat_nf, levels, eps_sq, g_const, near_cap, radius)
+        pos, mass, ci, flat_nf, levels, eps_sq, g_const, near_cap, radius,
+        use_pallas=nf_pallas, interpret=interpret)
 
     # NOTE: overflow beyond the residual capacity silently degrades; the
     # device tunnel rejects host callbacks (jax.debug.print), so the check
@@ -641,7 +659,14 @@ def bh_accelerations(pos: jax.Array, mass: jax.Array,
         pos, mass, levels=levels, eps_sq=float(config.eps_sq),
         g_const=float(config.g_const), near_cap=NEAR_CAP,
         radius=_resolve_radius(config),
+        nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret,
     )
+
+
+def _nf_use_pallas(config: SimConfig) -> bool:
+    """The Pallas near-field kernel runs on TPU (or anywhere in interpret
+    mode for testing); the XLA stencil is the oracle/CPU path."""
+    return jax.default_backend() == "tpu" or config.pallas_interpret
 
 
 def _resolve_radius(config: SimConfig) -> int:

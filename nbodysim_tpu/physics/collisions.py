@@ -98,18 +98,34 @@ def _pair_deltas(
 
 
 def _dense_pass(state: ParticleState, config: SimConfig) -> ParticleState:
-    """Exact O(N^2) masked Jacobi collision pass, blocked over both axes.
+    """Exact O(N^2) masked Jacobi collision pass.
 
     Pure VPU broadcast work with no sort/scatter/gather: on TPU this beats
     every broad-phase scheme up to N ~ 64k (25k: ~625M pair tests of ~40
-    elementwise ops each — less wall-clock than building a grid). Blocked
-    so temps stay <= [1024, 4096]; self-pairs are no-ops in the pair math
-    (d = v = 0), so no identity mask is needed.
+    elementwise ops each — less wall-clock than building a grid). The hot
+    path is the tiled Pallas kernel (kernels/collide.py, selected by
+    collision_backend); the blocked-XLA form below is its oracle and the
+    CPU path. Blocked so temps stay <= [1024, 4096]; self-pairs are no-ops
+    in the pair math (d = v = 0), so no identity mask is needed.
     """
     from nbodysim_tpu.core.blocking import pairwise_blocked
 
     pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
     n, dim = pos.shape
+
+    use_pallas = config.collision_backend == "pallas" or (
+        config.collision_backend == "auto"
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from nbodysim_tpu.kernels.collide import allpairs_collision_deltas
+
+        dp, dv = allpairs_collision_deltas(
+            pos, vel, mass, radius,
+            impulse=config.collision_impulse,
+            interpret=config.pallas_interpret,
+        )
+        return state.replace(pos=pos + dp, vel=vel + dv)
 
     def kernel(tgt, src):
         tpb, tvb, tmb, trb = tgt
@@ -148,25 +164,70 @@ def _cell_hash(cell: jax.Array, n_buckets: int) -> jax.Array:
     return (h & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
 
 
+def _cheb_pair_deltas_blocked(tgt, src, dim: int, impulse: float,
+                              max_cheb: int = 1):
+    """Exact pair deltas between two particle sets, masked to cell
+    Chebyshev distance <= max_cheb, blocked over BOTH axes. tgt/src are
+    (pos, vel, mass, radius, cell) tuples; zero-mass rows are inert.
+    Shared by the 3D grid pass's big-body and overflow corrections."""
+    from nbodysim_tpu.core.blocking import pairwise_blocked
+
+    def kernel(tgt_blk, src_blk):
+        tp, tv, tm, tr, tc = tgt_blk
+        sp, sv, sm_, sr_, sc = src_blk
+        d = sp[None, :, :] - tp[:, None, :]
+        v = sv[None, :, :] - tv[:, None, :]
+        msum = tm[:, None] + sm_[None, :]
+        w1 = sm_[None, :] / jnp.where(msum > 0, msum, 1.0)
+        r = tr[:, None] + sr_[None, :]
+        valid = (sm_[None, :] > 0) & (tm[:, None] > 0)
+        if max_cheb is not None:
+            cheb = jnp.max(jnp.abs(sc[None, :, :] - tc[:, None, :]), axis=-1)
+            valid = valid & (cheb <= max_cheb)
+        dpos, dvel = _pair_deltas(d, v, w1, r, valid, impulse)
+        return jnp.sum(dpos, axis=1), jnp.sum(dvel, axis=1)
+
+    return pairwise_blocked(
+        kernel, tgt, src, out_dims=((dim,), (dim,)), dtype=tgt[0].dtype,
+        bs_t=2048, bs_s=2048)
+
+
 def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
-    """Sorted spatial-hash Jacobi collision pass (3D large-N fallback).
+    """Sorted spatial-hash Jacobi collision pass (3D large-N path).
 
     Fixed-shape pipeline: hash -> sort -> per-particle windowed scan of the
     27 neighbor-cell segments (located via searchsorted). Window size is
     `config.collision_max_neighbors` per neighbor cell.
 
-    Known limitations (3D at N > DENSE_THRESHOLD only; the 2D bucket path
-    has neither): (a) window overflow drops one side of a pair while the
-    other may still fire — clustered cells can gain net momentum; (b) no
-    big-body extraction, so pairs whose combined radius exceeds
-    collision_cell_size are missed. Round-2 work is porting the 2D bucket
-    machinery (hashed, since a dense 3D grid is too large).
+    Conservation safeguards (the 2D bucket pass's, ported — VERDICT item 3;
+    the round-1 version injected momentum in clustered cells and missed
+    over-sized pairs entirely):
+      * symmetric windows — a pair fires only when BOTH members sit inside
+        their segments' windows (rank < W on each side), so every applied
+        impulse has its exact Jacobi counterpart on the other body;
+      * overflow residual — particles beyond the window (rank >= W) spill
+        into a compact set handled by exact cheb<=1-masked pair passes
+        against everyone / the in-window set (lax.cond-gated);
+      * big-body extraction — the effective cell size is floored at 2.05x
+        the 65th-largest radius, the (at most 64) bodies with radius >
+        cell/2 leave the grid, and exact unmasked passes couple them to
+        everything (a pair of in-grid bodies then cannot span beyond the
+        27-cell neighborhood).
     """
     pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
     n, dim = pos.shape
-    cell_size = config.collision_cell_size
     window = config.collision_max_neighbors
     n_buckets = 1 << max(1, (2 * n - 1).bit_length())   # >= 2N, power of two
+
+    # Big-body extraction (see _bucket_pass for the 2D analogue).
+    k_big = min(64, n)
+    top_r, top_i = lax.top_k(radius, min(k_big + 1, n))
+    cell_size = jnp.maximum(jnp.asarray(config.collision_cell_size,
+                                        pos.dtype),
+                            2.05 * top_r[min(k_big, n - 1)])
+    big_sel = top_r[:k_big] > 0.5 * cell_size
+    top_i = top_i[:k_big]
+    is_big = jnp.zeros((n,), bool).at[top_i].set(big_sel)
 
     cell = jnp.floor(pos / cell_size).astype(jnp.int32)          # [N, D]
     h = _cell_hash(cell, n_buckets)                              # [N]
@@ -176,6 +237,17 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     pos_s, vel_s = pos[order], vel[order]
     mass_s, radius_s = mass[order], radius[order]
     cell_s = cell[order]
+    big_s = is_big[order]
+
+    # Rank of each particle inside its own hash segment: the window pass
+    # uses the first W entries of a segment as sources, so rank >= W means
+    # "invisible to probes" — those particles go through the residual.
+    from nbodysim_tpu.core.blocking import sorted_first_occurrence
+
+    first = sorted_first_occurrence(h_sorted)
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    in_win = (rank < window) & ~big_s
+    overflow = jnp.sum(~in_win & ~big_s)
 
     # Neighbor cell offsets: 9 in 2D, 27 in 3D.
     if dim == 2:
@@ -211,8 +283,12 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     cand_cell = cell_s[cand]                                     # [N, K, D]
     cell_match = jnp.all(cand_cell == want_cell, axis=-1)
     self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
+    # Symmetric validity: the pair (i, j) fires iff BOTH are window-visible
+    # (and neither is big) — otherwise one side of the antisymmetric pair
+    # math would be applied alone, injecting net momentum.
     valid = (in_range & (cand_hash == want_hash) & cell_match
-             & (cand != self_idx))
+             & (cand != self_idx)
+             & in_win[:, None] & in_win[cand])
 
     d = pos_s[cand] - pos_s[:, None, :]                          # [N, K, D]
     v = vel_s[cand] - vel_s[:, None, :]
@@ -221,12 +297,63 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     r = radius_s[:, None] + radius_s[cand]
 
     dpos, dvel = _pair_deltas(d, v, w1, r, valid, config.collision_impulse)
-    new_pos_s = pos_s + jnp.sum(dpos, axis=1)
-    new_vel_s = vel_s + jnp.sum(dvel, axis=1)
+    dpos_s = jnp.sum(dpos, axis=1)
+    dvel_s = jnp.sum(dvel, axis=1)
+
+    impulse = config.collision_impulse
+    everyone = (pos_s, vel_s, mass_s, radius_s, cell_s)
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+
+    # -- big bodies: exact, unmasked by cells (they reach across cells) --
+    big_src = (pos[top_i], vel[top_i],
+               jnp.where(big_sel, mass[top_i], 0.0),
+               radius[top_i], cell[top_i])
+    dp_b1, dv_b1 = _cheb_pair_deltas_blocked(
+        everyone, big_src, dim, impulse, max_cheb=None)
+    dpos_s = dpos_s + dp_b1
+    dvel_s = dvel_s + dv_b1
+    small_src = (pos_s, vel_s, jnp.where(big_s, 0.0, mass_s),
+                 radius_s, cell_s)
+    dp_b2, dv_b2 = _cheb_pair_deltas_blocked(
+        big_src, small_src, dim, impulse, max_cheb=None)
+    top_sorted = inv[top_i]      # top_i indexes the ORIGINAL order
+    dpos_s = dpos_s.at[top_sorted].add(
+        jnp.where(big_sel[:, None], dp_b2, 0.0))
+    dvel_s = dvel_s.at[top_sorted].add(
+        jnp.where(big_sel[:, None], dv_b2, 0.0))
+
+    # -- overflow residual (small particles beyond the window cap) -------
+    m_cap = min(n, _OVERFLOW_CAP)
+
+    def residual(args):
+        dpos_s, dvel_s = args
+        keep = in_win | big_s            # NOT overflow-small
+        o_idx = jnp.argsort(keep)[:m_cap]
+        o_valid = ~keep[o_idx]
+        o = (pos_s[o_idx], vel_s[o_idx],
+             jnp.where(o_valid, mass_s[o_idx], 0.0),
+             radius_s[o_idx], cell_s[o_idx])
+        # (b): everyone <- overflow sources (cheb <= 1). Big targets
+        # already received overflow-small impulses through dp_b2 (whose
+        # small_src includes overflow smalls); adding them again would
+        # double one side of each big/overflow pair.
+        dp_b, dv_b = _cheb_pair_deltas_blocked(everyone, o, dim, impulse)
+        not_big = ~big_s[:, None]
+        dpos_s = dpos_s + jnp.where(not_big, dp_b, 0.0)
+        dvel_s = dvel_s + jnp.where(not_big, dv_b, 0.0)
+        # (c): overflow targets <- in-window sources (cheb <= 1).
+        in_win_src = (pos_s, vel_s, jnp.where(in_win, mass_s, 0.0),
+                      radius_s, cell_s)
+        dp_c, dv_c = _cheb_pair_deltas_blocked(o, in_win_src, dim, impulse)
+        dpos_s = dpos_s.at[o_idx].add(jnp.where(o_valid[:, None], dp_c, 0.0))
+        dvel_s = dvel_s.at[o_idx].add(jnp.where(o_valid[:, None], dv_c, 0.0))
+        return dpos_s, dvel_s
+
+    dpos_s, dvel_s = lax.cond(
+        overflow > 0, residual, lambda a: a, (dpos_s, dvel_s))
 
     # Scatter back to original order.
-    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
-    return state.replace(pos=new_pos_s[inv], vel=new_vel_s[inv])
+    return state.replace(pos=pos + dpos_s[inv], vel=vel + dvel_s[inv])
 
 
 # ---------------------------------------------------------------------------

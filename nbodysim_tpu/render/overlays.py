@@ -20,6 +20,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from nbodysim_tpu.config import SimConfig
@@ -84,23 +85,134 @@ def quadtree_overlay(
     return jnp.clip(out, 0, 255).astype(jnp.uint8)
 
 
+CLUSTER_COLOR = jnp.array([255.0, 190.0, 152.0])   # main.cpp:311
+
+
 def connections_overlay(
     frame: jax.Array,
     state: ParticleState,
     scale: float,
     center,
-    max_distance: float = 1000.0,    # MAX_DISTANCE, main.cpp:50
-    max_connections: int = MAX_CONNECTIONS,
+    base_distance: float = 1000.0,   # MAX_DISTANCE, main.cpp:50
+    base_connections: int = MAX_CONNECTIONS,
     segment_points: int = 16,
     cap: int = 8,
 ) -> jax.Array:
-    """Splat red neighbor-connection segments into the frame.
+    """Splat neighbor-connection segments, zoom-adaptively.
 
-    Neighbors come from a sorted spatial grid with cell size
-    `max_distance` (the reference grids at MAX_DISTANCE too, main.cpp:74);
-    each particle connects to up to `max_connections` in-range neighbors,
-    alpha = 1 - d/max_distance (main.cpp:362).
+    Reference (main.cpp:241-253): all connection parameters scale with
+    zoom —
+
+      zoomFactor     = max(0.1, scale)
+      adaptiveDistance    = MAX_DISTANCE / zoomFactor
+      adaptiveConnections = MAX_CONNECTIONS / zoomFactor
+      adaptiveAlpha       = max(50, 255 * zoomFactor) / 255
+      gridLevel           = max(0, -log2(zoomFactor))
+
+    and at gridLevel > 2 (zoomed far out) connections collapse to the
+    cluster level: one salmon (255,190,152) segment between neighboring
+    occupied-cell centers instead of per-body red lines (main.cpp:274-320;
+    the reference shipped that branch commented out, leaving NO drawing in
+    the per-body regime it gates — SURVEY bug #5 — so this implements the
+    intended behavior: cluster segments when far out, per-body red lines
+    otherwise).
     """
+    zoom = max(0.1, float(scale))
+    adaptive_distance = base_distance / zoom
+    adaptive_connections = max(1, int(base_connections / zoom))
+    adaptive_alpha = max(50.0, 255.0 * zoom) / 255.0
+    grid_level = max(0, int(-np.log2(zoom)))
+
+    if grid_level > 2:
+        return _cluster_connections(
+            frame, state, scale, center, adaptive_distance, adaptive_alpha,
+            segment_points)
+    return _body_connections(
+        frame, state, scale, center, adaptive_distance,
+        adaptive_connections, adaptive_alpha, segment_points, cap)
+
+
+def _cluster_connections(frame, state, scale, center, cell_world,
+                         alpha, segment_points):
+    """Cluster-level mode: segments between neighboring occupied-cell
+    centers (mean body position per cell) on a dense screen-covering
+    grid; constant adaptiveAlpha, salmon color (main.cpp:296-316)."""
+    frame = frame.astype(jnp.float32)
+    h, w = frame.shape[:2]
+    pos = state.pos[:, :2]
+    cx = jnp.asarray(center, jnp.float32)
+
+    # Dense cell grid over the visible world region (+1 cell margin).
+    world_w = w / scale
+    world_h = h / scale
+    g = int(np.clip(np.ceil(max(world_w, world_h) / cell_world) + 3,
+                    4, 128))
+    origin = cx - 0.5 * jnp.array([world_w, world_h]) - cell_world
+    ci = jnp.floor((pos - origin) / cell_world).astype(jnp.int32)
+    inside = jnp.all((ci >= 0) & (ci < g), axis=-1)
+    flat = jnp.where(inside, ci[:, 0] * g + ci[:, 1], g * g)
+
+    cnt = jnp.zeros((g * g,), jnp.float32).at[flat].add(
+        inside.astype(jnp.float32), mode="drop")
+    sx = jnp.zeros((g * g,), jnp.float32).at[flat].add(
+        jnp.where(inside, pos[:, 0], 0.0), mode="drop")
+    sy = jnp.zeros((g * g,), jnp.float32).at[flat].add(
+        jnp.where(inside, pos[:, 1], 0.0), mode="drop")
+    occ = cnt > 0
+    safe = jnp.maximum(cnt, 1.0)
+    centers = jnp.stack([sx / safe, sy / safe], -1).reshape(g, g, 2)
+    occ = occ.reshape(g, g)
+
+    def to_screen(p):
+        return (p - cx) * scale + jnp.array([w / 2.0, h / 2.0])
+
+    a_scr = to_screen(centers)                       # [g, g, 2]
+    acc = jnp.zeros((h, w), jnp.float32)
+    t = jnp.linspace(0.0, 1.0, segment_points)[None, :, None]
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            nb_c = jnp.roll(centers, (-dx, -dy), axis=(0, 1))
+            nb_o = jnp.roll(occ, (-dx, -dy), axis=(0, 1))
+            # roll wraps; wrapped edge rows are masked off
+            ix = jnp.arange(g)
+            edge_x = (ix + dx >= 0) & (ix + dx < g)
+            edge_y = (ix + dy >= 0) & (ix + dy < g)
+            ok = occ & nb_o & edge_x[:, None] & edge_y[None, :]
+            a = a_scr.reshape(-1, 1, 2)
+            b = to_screen(nb_c).reshape(-1, 1, 2)
+            pts = (a * (1 - t) + b * t).reshape(-1, 2)
+            al = jnp.repeat(ok.reshape(-1).astype(jnp.float32) * alpha,
+                            segment_points)
+            xi = jnp.round(pts[:, 0]).astype(jnp.int32)
+            yi = jnp.round(pts[:, 1]).astype(jnp.int32)
+            vis = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            al = jnp.where(vis, al, 0.0)
+            acc = acc.at[jnp.clip(yi, 0, h - 1),
+                         jnp.clip(xi, 0, w - 1)].add(al)
+
+    blend = jnp.clip(acc, 0.0, 1.0)[..., None]
+    out = frame * (1 - blend) + CLUSTER_COLOR * blend
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def _body_connections(
+    frame: jax.Array,
+    state: ParticleState,
+    scale: float,
+    center,
+    max_distance: float,
+    max_connections: int,
+    adaptive_alpha: float,
+    segment_points: int = 16,
+    cap: int = 8,
+) -> jax.Array:
+    """Per-body mode: red lines to up to `max_connections` in-range
+    neighbors, alpha = (1 - d/adaptiveDistance) * adaptiveAlpha
+    (main.cpp:364-367). Neighbors come from a sorted spatial grid with
+    cell size `max_distance` (the reference grids at that size too,
+    main.cpp:74)."""
     frame = frame.astype(jnp.float32)
     h, w = frame.shape[:2]
     pos = state.pos[:, :2]
@@ -149,7 +261,8 @@ def connections_overlay(
     rank = jnp.cumsum(valid.astype(jnp.int32), axis=1)
     keep = valid & (rank <= max_connections)
 
-    alpha = jnp.where(keep, 1.0 - dist / max_distance, 0.0)   # [N, K]
+    alpha = jnp.where(
+        keep, (1.0 - dist / max_distance) * adaptive_alpha, 0.0)  # [N, K]
 
     # Screen endpoints; splat T points along each kept segment.
     def to_screen(p):

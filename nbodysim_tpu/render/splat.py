@@ -81,6 +81,20 @@ def _world_to_screen(pos, scale, center, width, height):
     )
 
 
+# drawBlackHole constants (main.cpp:477-547).
+_BH_SEGMENTS = 5048            # main.cpp:495
+_BH_QUAD_ALPHA = 2.0 / 255.0   # per-quad disk alpha (main.cpp:523)
+# Glow layers i = 4..0 (painted back-to-front): radius multiplier
+# 1 + 1.4*i, center alpha (1 - i/4)*1.1 cast to an unsigned byte EXACTLY as
+# the reference compiles it — the i=0 layer computes 1.1*255 = 280.5, which
+# wraps to 24/255 in the u8 cast, making the innermost glow layer nearly
+# transparent; i=4 computes 0, invisible. Reproduced, quirk and all.
+_BH_GLOW_LAYERS = tuple(
+    (1.0 + 1.4 * i, (int((1.0 - i / 4.0) * 1.1 * 255.0) % 256) / 255.0)
+    for i in (4, 3, 2, 1, 0)
+)
+
+
 def _black_hole_layer(
     frame: jax.Array,       # [H, W, 3] float
     screen_pos: jax.Array,  # [2]
@@ -90,43 +104,73 @@ def _black_hole_layer(
 ) -> jax.Array:
     """Closed-form black-hole composite (drawBlackHole, main.cpp:477-547).
 
-    Glow: layered gradients -> smooth exp falloff out to ~6.6 radii.
-    Accretion disk: warm ring between 2.1 and 10.51 radii (main.cpp:492-493)
-    with azimuthal brightness variation (cos term, main.cpp:502).
-    Event horizon: black inside r, subtle blue edge (main.cpp:529-535).
-    Photon ring: thin bright ring at r (main.cpp:537-546).
+    Every element of the reference's painter stack, evaluated per pixel:
+
+    1. Glow: 5 DrawCircleGradient layers (255,255,237), alpha fading
+       linearly center -> radius, layer radii/alphas from main.cpp:482-490
+       (including the byte-overflow of the innermost layer).
+    2. Accretion disk (main.cpp:492-527): 5048 overlapping quads between
+       2.1R and 10.51R whose start angle spans 300 deg while the end angle
+       spans 390 deg. Closed form: the number of quads covering azimuth
+       phi is k(phi) = S*phi*(1/300 - 1/390) for the main arc plus
+       S*(1 - (phi+360)/390) where the 390-arc wraps over [0, 30) deg; the
+       stacked per-quad alpha 2/255 composites to 1 - (1 - 2/255)^k, an
+       angular opacity ramp (transparent near 0 deg, opaque past ~90 deg)
+       — the characteristic smear. Each quad's y is scaled by
+       distortion(angle) = 0.55 + 0.10*(1.02 - tan(12*angle))
+       (main.cpp:504), reproduced as an elliptical warp of the radius;
+       color (3b, 2b, 6b) with b = 1.4 + (10.5 + cos(angle))
+       (main.cpp:503,518-522).
+    3. Event horizon: opaque gradient (0,0,40) -> black out to 1.03R, then
+       a solid black disc at R (main.cpp:530-535).
+    4. Photon ring: opaque (255,225,210) ring of thickness 0.011R at R
+       (main.cpp:538-546).
     """
     ys = jnp.arange(height, dtype=jnp.float32)[:, None]
     xs = jnp.arange(width, dtype=jnp.float32)[None, :]
     dx = xs - screen_pos[0]
     dy = ys - screen_pos[1]
     r = jnp.sqrt(dx * dx + dy * dy)
-    r_n = r / jnp.maximum(screen_radius, 1e-3)      # radii units
+    R = jnp.maximum(screen_radius, 1e-3)
     theta = jnp.arctan2(dy, dx)
 
-    # Warm glow (255, 255, 237) fading over ~6.6 radii.
-    glow = jnp.exp(-jnp.maximum(r_n - 1.0, 0.0) / 2.2)
-    glow_rgb = glow[..., None] * jnp.array([255.0, 255.0, 237.0]) * 0.8
+    # --- 1) layered glow gradients (back-to-front) -----------------------
+    glow_color = jnp.array([255.0, 255.0, 237.0])
+    for mult, a in _BH_GLOW_LAYERS:
+        rad = R * mult
+        fade = (jnp.clip(1.0 - r / rad, 0.0, 1.0) * a)[..., None]
+        frame = frame * (1.0 - fade) + glow_color * fade
 
-    # Accretion disk ring with soft edges + azimuthal modulation.
-    in_disk = jax.nn.sigmoid((r_n - 2.1) * 4.0) * jax.nn.sigmoid(
-        (10.51 - r_n) * 4.0
-    )
-    az = 11.5 + jnp.cos(theta)                       # main.cpp:502 brightness
-    disk_b = in_disk * az / 12.5
-    disk_rgb = disk_b[..., None] * jnp.array([30.0, 20.0, 60.0])
+    # --- 2) accretion disk ----------------------------------------------
+    # Azimuthal y-distortion (tan spikes clipped to keep the warp finite).
+    distortion = 0.55 + 0.10 * (1.02 - jnp.tan(theta * 12.0))
+    distortion = jnp.clip(distortion, 0.05, 2.5)
+    r_ell = jnp.sqrt(dx * dx + (dy / distortion) ** 2)
+    r_n = r_ell / R
+    in_disk = (r_n >= 2.1) & (r_n <= 10.51)
 
-    # Photon ring: thin bright ring at the horizon radius.
-    ring = jnp.exp(-((r_n - 1.0) ** 2) / (2.0 * 0.02 ** 2))
-    ring_rgb = ring[..., None] * jnp.array([255.0, 225.0, 210.0])
+    deg = (jnp.degrees(theta)) % 360.0
+    s = float(_BH_SEGMENTS)
+    k_main = s * deg * (1.0 / 300.0 - 1.0 / 390.0)
+    k_wrap = jnp.maximum(0.0, s * (1.0 - (deg + 360.0) / 390.0))
+    k = jnp.where(deg <= 300.0, k_main, s * (1.0 - deg / 390.0)) + k_wrap
+    opacity = jnp.where(
+        in_disk, 1.0 - jnp.power(1.0 - _BH_QUAD_ALPHA, k), 0.0)[..., None]
 
-    out = frame + glow_rgb + disk_rgb + ring_rgb
+    b = 1.4 + (10.5 + jnp.cos(theta))
+    disk_rgb = jnp.stack([3.0 * b, 2.0 * b, 6.0 * b], axis=-1)
+    frame = frame * (1.0 - opacity) + disk_rgb * opacity
 
-    # Event horizon: black disc with a subtle blue edge (0,0,40).
-    inside = (r_n < 1.0)[..., None]
-    edge = jnp.clip(1.0 - (1.0 - r_n) * 8.0, 0.0, 1.0)[..., None]
-    horizon = edge * jnp.array([0.0, 0.0, 40.0])
-    return jnp.where(inside, horizon, out)
+    # --- 3) event horizon -------------------------------------------------
+    grad = jnp.clip(1.0 - r / (1.03 * R), 0.0, 1.0)[..., None]
+    horizon_rgb = grad * jnp.array([0.0, 0.0, 40.0])
+    frame = jnp.where((r < 1.03 * R)[..., None], horizon_rgb, frame)
+    frame = jnp.where((r < R)[..., None], 0.0, frame)
+
+    # --- 4) photon ring ----------------------------------------------------
+    half_t = 0.011 * R / 2.0
+    on_ring = (jnp.abs(r - R) <= jnp.maximum(half_t, 0.5))[..., None]
+    return jnp.where(on_ring, jnp.array([255.0, 225.0, 210.0]), frame)
 
 
 def render_frame(

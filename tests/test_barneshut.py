@@ -105,3 +105,42 @@ def test_bh_plummer_concentrated_accuracy():
         np.linalg.norm(a_dir, axis=1) + 1e-12)
     assert np.median(err) < 0.05, np.median(err)
     assert np.percentile(err, 90) < 0.15, np.percentile(err, 90)
+
+
+def test_nearfield_pallas_matches_xla_stencil():
+    """kernels/nearfield.py (interpret mode) vs the XLA bucket stencil on
+    a random bucket grid with partially filled slots."""
+    from nbodysim_tpu.kernels.nearfield import bucket_stencil_pallas
+    from nbodysim_tpu.physics.barneshut import _bucket_stencil
+
+    key = jax.random.PRNGKey(2)
+    kx, ky, km, ko = jax.random.split(key, 4)
+    rows, res, cap, rr = 12, 32, 8, 2
+    rows_w = rows + 2 * rr
+    bx = jax.random.uniform(kx, (rows_w, res, cap), jnp.float32, -5.0, 5.0)
+    by = jax.random.uniform(ky, (rows_w, res, cap), jnp.float32, -5.0, 5.0)
+    bm = jax.random.uniform(km, (rows_w, res, cap), jnp.float32, 0.0, 2.0)
+    occupied = jax.random.bernoulli(ko, 0.4, (rows_w, res, cap))
+    bm = jnp.where(occupied, bm, 0.0)
+
+    ax_ref, ay_ref = _bucket_stencil(bx, by, bm, rr, 1.0, rows)
+    ax_p, ay_p = bucket_stencil_pallas(
+        bx, by, bm, rr=rr, eps_sq=1.0, center_rows=rows, interpret=True)
+    scale = float(jnp.abs(ax_ref).max()) + 1e-9
+    np.testing.assert_allclose(np.asarray(ax_p), np.asarray(ax_ref),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(ay_p), np.asarray(ay_ref),
+                               atol=1e-5 * scale)
+
+
+def test_bh_with_pallas_nearfield_matches():
+    """Full tree-code eval with the Pallas near field (interpret) vs the
+    XLA near field on the clustered disc scene."""
+    cfg_scene = SimConfig(n=2048, force_backend="xla")
+    state = nb.init_scene("uniform_disc", cfg_scene)
+    cfg_x = SimConfig(n=2048, force_backend="bh")
+    cfg_p = SimConfig(n=2048, force_backend="bh", pallas_interpret=True)
+    a_x = np.asarray(bh_accelerations(state.pos, state.mass, cfg_x))
+    a_p = np.asarray(bh_accelerations(state.pos, state.mass, cfg_p))
+    scale = np.abs(a_x).max()
+    np.testing.assert_allclose(a_p, a_x, atol=1e-5 * scale)

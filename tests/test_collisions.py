@@ -183,3 +183,113 @@ def test_bucket_pass_momentum_large_random():
     scale = float(jnp.sum(mass * jnp.linalg.norm(vel, axis=-1)))
     np.testing.assert_allclose(p1, p0, atol=scale * 1e-5)
     assert not np.allclose(np.asarray(out.vel), np.asarray(vel))
+
+
+def test_pallas_collision_kernel_matches_xla():
+    """The Pallas dense narrow phase (kernels/collide.py, interpret mode)
+    must reproduce the blocked-XLA _pair_deltas oracle bit-for-bit-ish on
+    a dense colliding cloud (2D and 3D)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbodysim_tpu.core.state import ParticleState
+    from nbodysim_tpu.physics.collisions import _dense_pass
+
+    for dim in (2, 3):
+        key = jax.random.PRNGKey(7 + dim)
+        kp, kv, km = jax.random.split(key, 3)
+        n = 300
+        pos = jax.random.uniform(kp, (n, dim), jnp.float32, -10.0, 10.0)
+        vel = jax.random.uniform(kv, (n, dim), jnp.float32, -5.0, 5.0)
+        mass = jax.random.uniform(km, (n,), jnp.float32, 0.5, 2.0)
+        radius = jnp.cbrt(mass) * 1.5   # dense enough to overlap a lot
+        state = ParticleState(
+            pos=pos, vel=vel, acc=jnp.zeros_like(pos), mass=mass,
+            radius=radius, frame=jnp.array(0))
+        cfg_x = SimConfig(n=n, dim=dim, collision_backend="xla")
+        cfg_p = SimConfig(n=n, dim=dim, collision_backend="pallas",
+                             pallas_interpret=True)
+        out_x = _dense_pass(state, cfg_x)
+        out_p = _dense_pass(state, cfg_p)
+        scale = float(jnp.abs(out_x.vel).max())
+        np.testing.assert_allclose(
+            np.asarray(out_p.pos), np.asarray(out_x.pos),
+            atol=1e-5 * max(scale, 10.0), err_msg=f"dim={dim} pos")
+        np.testing.assert_allclose(
+            np.asarray(out_p.vel), np.asarray(out_x.vel),
+            atol=1e-5 * max(scale, 10.0), err_msg=f"dim={dim} vel")
+        # Momentum conservation must hold for the kernel too.
+        p0 = np.asarray((mass[:, None] * vel).sum(0))
+        p1 = np.asarray((out_p.mass[:, None] * out_p.vel).sum(0))
+        np.testing.assert_allclose(p1, p0, atol=1e-2 * np.abs(p0).max())
+
+
+def _rand_state(n, dim, span, vspan, rad, seed):
+    import jax
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    pos = jax.random.uniform(k1, (n, dim), jnp.float32, -span, span)
+    vel = jax.random.uniform(k2, (n, dim), jnp.float32, -vspan, vspan)
+    mass = jax.random.uniform(k3, (n,), jnp.float32, 0.5, 2.0)
+    radius = jnp.full((n,), rad)
+    return ParticleState.create(pos, vel, mass, radius)
+
+
+def test_grid_pass_3d_overflow_matches_dense():
+    """VERDICT item 3: clustered 3D cells beyond the window cap must go
+    through the exact residual — the pass then matches the dense oracle
+    and conserves momentum (round 1 injected momentum here)."""
+    n = 1200
+    # Everything inside ~2 cells of size 600 -> rank overflow everywhere.
+    state = _rand_state(n, 3, 500.0, 50.0, 15.0, seed=11)
+    cfg = _cfg(dim=3, collision_max_neighbors=16)
+    dense = _dense_pass(state, cfg)
+    grid = _grid_pass(state, cfg)
+    np.testing.assert_allclose(
+        np.asarray(grid.pos), np.asarray(dense.pos), atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(grid.vel), np.asarray(dense.vel), atol=2e-3)
+    p0 = np.asarray((state.mass[:, None] * state.vel).sum(0))
+    p1 = np.asarray((grid.mass[:, None] * grid.vel).sum(0))
+    np.testing.assert_allclose(p1, p0, atol=1e-2 * np.abs(p0).max() + 1e-3)
+
+
+def test_grid_pass_3d_big_bodies_match_dense():
+    """VERDICT item 3: pairs whose combined radius exceeds the cell size
+    were missed in round 1; big-body extraction must recover them."""
+    import jax
+
+    n = 600
+    state = _rand_state(n, 3, 3000.0, 50.0, 10.0, seed=13)
+    # One giant body (radius 5x the 600-unit cell) overlapping many others.
+    radius = state.radius.at[0].set(3000.0)
+    mass = state.mass.at[0].set(500.0)
+    state = state.replace(radius=radius, mass=mass)
+    cfg = _cfg(dim=3, collision_max_neighbors=32)
+    dense = _dense_pass(state, cfg)
+    grid = _grid_pass(state, cfg)
+    scale = float(jnp.abs(dense.vel).max())
+    np.testing.assert_allclose(
+        np.asarray(grid.pos), np.asarray(dense.pos), atol=1e-4 * 3000.0)
+    np.testing.assert_allclose(
+        np.asarray(grid.vel), np.asarray(dense.vel), atol=1e-4 * scale)
+
+
+def test_grid_pass_3d_momentum_mixed_large():
+    """Momentum conservation on a mixed clustered+spread 3D scene with
+    overflow and big bodies at once (the full safeguard stack)."""
+    import jax
+
+    n = 4000
+    state = _rand_state(n, 3, 4000.0, 80.0, 25.0, seed=17)
+    # Clustered core: half the particles inside one cell.
+    pos = state.pos.at[: n // 2].set(state.pos[: n // 2] * 0.05)
+    radius = state.radius.at[:3].set(jnp.array([2000.0, 900.0, 700.0]))
+    state = state.replace(pos=pos, radius=radius)
+    cfg = _cfg(dim=3, collision_max_neighbors=8)
+    out = _grid_pass(state, cfg)
+    assert np.all(np.isfinite(np.asarray(out.pos)))
+    p0 = np.asarray((state.mass[:, None] * state.vel).sum(0))
+    p1 = np.asarray((out.mass[:, None] * out.vel).sum(0))
+    gross = float(jnp.abs(out.mass[:, None] * out.vel).sum())
+    np.testing.assert_allclose(p1, p0, atol=1e-5 * gross)
