@@ -139,53 +139,66 @@ def _nearfield_kernel(
     outy_ref[:] += accy
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("rr", "eps_sq", "center_rows", "tile", "interpret"),
-)
-def bucket_stencil_pallas(
-    bx: jax.Array,     # [center_rows + 2rr, res, K] bucket positions x
-    by: jax.Array,
-    bm: jax.Array,     # zero mass = empty slot
+class _FlatLayout:
+    """Constants of the slot-major flat bucket layout.
+
+    Element (row_w, col) of the [rows_w, res, K] bucket grid lives at flat
+    position lead + row_w*stride + col + rr (lead = _LEAD hosts the
+    leftmost column shift and keeps DMA starts 128-aligned; stride is the
+    padded row pitch). The force path scatters particles STRAIGHT into
+    this layout (barneshut._near_field_buckets) — a tiny-minor-dim
+    intermediate grid costs 10-40x in TPU tiling blowup.
+    """
+
+    def __init__(self, center_rows: int, res: int, cap: int, rr: int,
+                 tile: int):
+        self.center_rows = center_rows
+        self.res = res
+        self.cap = cap
+        self.rr = rr
+        self.stride = _cdiv(res + 2 * rr, 128) * 128
+        region = center_rows * self.stride
+        self.c = max(128, min(tile, 1 << (max(region, 2) - 1).bit_length()))
+        self.ntiles = _cdiv(region, self.c)
+        self.region = region
+        self.t0 = _LEAD + rr * self.stride
+        rows_w = center_rows + 2 * rr
+        f_len = max(_LEAD + rows_w * self.stride,
+                    self.t0 + self.ntiles * self.c
+                    + rr * self.stride + _LEAD) + _LEAD
+        self.f_len = _cdiv(f_len, 128) * 128
+
+    def flat_index(self, row_w, col):
+        """Flat position of (window row, column) — traced-friendly."""
+        return _LEAD + row_w * self.stride + col + self.rr
+
+    def out_index(self, center_row, col):
+        """Index into the kernel's [K, ntiles*c] output arrays."""
+        return center_row * self.stride + col + self.rr
+
+
+def bucket_stencil_pallas_flat(
+    bx_f: jax.Array,   # [K, F] slot-major flat positions x
+    by_f: jax.Array,
+    bm_f: jax.Array,   # zero mass = empty slot
+    layout: _FlatLayout,
     *,
-    rr: int,
     eps_sq: float,
-    center_rows: int,
-    tile: int = 1024,   # [K, K, tile] pair blocks: 1 MB temps in VMEM
     interpret: bool = False,
 ):
-    """Drop-in Pallas replacement for barneshut._bucket_stencil: same
-    [rows + 2rr halo, res, K] input layout, returns (accx, accy) as
-    [center_rows, res, K] (unscaled by g_const)."""
-    rows_w, res, cap = bx.shape
-    f32 = jnp.float32
-    # Row stride rounded to the 128-lane tile so dr*stride keeps DMA
-    # starts aligned (the extra columns are zero padding).
-    stride = _cdiv(res + 2 * rr, 128) * 128
+    """Run the near-field kernel on pre-flattened [K, F] bucket arrays;
+    returns (accx, accy) as [K, ntiles*c] flat outputs (see
+    _FlatLayout.out_index)."""
+    cap, rr, stride = layout.cap, layout.rr, layout.stride
+    c, ntiles, t0, f_len = layout.c, layout.ntiles, layout.t0, layout.f_len
+    res, center_rows = layout.res, layout.center_rows
     nw = 2 * rr + 1
+    f32 = jnp.float32
 
-    region = center_rows * stride
-    c = max(128, min(tile, 1 << (max(region, 2) - 1).bit_length()))
-    ntiles = _cdiv(region, c)
-    # Flat layout [K, F]: element (row_w, col) at lead + row_w*stride +
-    # col + rr, lead = _LEAD (aligned; also hosts the leftmost column
-    # shift). First target (center row rr, padded col 0) sits at t0.
-    t0 = _LEAD + rr * stride
-    f_len = max(_LEAD + rows_w * stride,
-                t0 + ntiles * c + rr * stride + _LEAD) + _LEAD
-
-    f_len = _cdiv(f_len, 128) * 128
-
-    def to_flat(a):
-        a = jnp.pad(a.astype(f32),
-                    ((0, 0), (rr, stride - res - rr), (0, 0)))
-        a = a.reshape(rows_w * stride, cap).T          # [K, rows_w*stride]
-        a = jnp.pad(a, ((0, 0), (_LEAD, f_len - _LEAD - rows_w * stride)))
+    def blocked(a):
         return a.reshape(cap, f_len // 128, 128)
 
-    bx_f = to_flat(bx)
-    by_f = to_flat(by)
-    bm_f = to_flat(bm)
+    bx_f, by_f, bm_f = blocked(bx_f), blocked(by_f), blocked(bm_f)
 
     kernel = functools.partial(
         _nearfield_kernel, cap=cap, rr=rr, stride=stride, tile=c, t0=t0,
@@ -225,14 +238,51 @@ def bucket_stencil_pallas(
         ),
         cost_estimate=pl.CostEstimate(
             flops=13 * pairs,
-            bytes_accessed=3 * cap * f_len * 4 * nw + 2 * cap * region * 4,
+            bytes_accessed=3 * cap * f_len * 4 * nw
+            + 2 * cap * layout.region * 4,
             transcendentals=pairs,
         ),
         interpret=interpret,
     )(bx_f, by_f, bm_f)
+    return outx, outy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("rr", "eps_sq", "center_rows", "tile", "interpret"),
+)
+def bucket_stencil_pallas(
+    bx: jax.Array,     # [center_rows + 2rr, res, K] bucket positions x
+    by: jax.Array,
+    bm: jax.Array,     # zero mass = empty slot
+    *,
+    rr: int,
+    eps_sq: float,
+    center_rows: int,
+    tile: int = 1024,   # [K, K, tile] pair blocks: 1 MB temps in VMEM
+    interpret: bool = False,
+):
+    """Drop-in Pallas replacement for barneshut._bucket_stencil: same
+    [rows + 2rr halo, res, K] input layout, returns (accx, accy) as
+    [center_rows, res, K] (unscaled by g_const). The force path avoids the
+    grid round trip entirely via bucket_stencil_pallas_flat."""
+    rows_w, res, cap = bx.shape
+    f32 = jnp.float32
+    layout = _FlatLayout(center_rows, res, cap, rr, tile)
+    stride, f_len = layout.stride, layout.f_len
+
+    def to_flat(a):
+        a = jnp.pad(a.astype(f32),
+                    ((0, 0), (rr, stride - res - rr), (0, 0)))
+        a = a.reshape(rows_w * stride, cap).T          # [K, rows_w*stride]
+        return jnp.pad(a, ((0, 0), (_LEAD, f_len - _LEAD - rows_w * stride)))
+
+    outx, outy = bucket_stencil_pallas_flat(
+        to_flat(bx), to_flat(by), to_flat(bm), layout,
+        eps_sq=eps_sq, interpret=interpret)
 
     def from_flat(o):
-        o = o[:, :region].T.reshape(center_rows, stride, cap)
+        o = o[:, :layout.region].T.reshape(center_rows, stride, cap)
         return o[:, rr:rr + res, :]
 
     return from_flat(outx), from_flat(outy)

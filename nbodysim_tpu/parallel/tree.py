@@ -139,25 +139,23 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
 
     # ---------------- pyramid: banded build + coarse replication --------
     # Scatter the 6 raw moment fields of ALL particles into my band's rows
-    # (out-of-band indices drop); pool up while the band can still host a
-    # halo; all_gather the coarsest sharded level (tiny) and pool the
-    # replicated remainder.
-    px, py = bulk_pos[:, 0], bulk_pos[:, 1]
-    fields = (tree_mass, tree_mass * px, tree_mass * py,
-              tree_mass * px * px, tree_mass * px * py, tree_mass * py * py)
+    # as one fused [N, 6]-payload scatter (out-of-band indices drop); pool
+    # up while the band can still host a halo; all_gather the coarsest
+    # sharded level (tiny) and pool the replicated remainder.
+    from nbodysim_tpu.physics.barneshut import _moment_payload
+
     wrow = ci[:, 0] - row0
     in_rows = (wrow >= 0) & (wrow < rb)
     bflat = jnp.where(in_rows, wrow * res + ci[:, 1], rb * res)  # OOB drops
-
-    def scat(v):
-        return (jnp.zeros((rb * res,), pos.dtype)
-                .at[bflat].add(v, mode="drop").reshape(rb, res))
 
     shard_levels = [l for l in range(2, levels + 1)
                     if (1 << l) % p_dev == 0 and (1 << l) // p_dev >= p]
     ls = min(shard_levels)         # contiguous {ls..levels} by monotonicity
 
-    band_grids = {levels: tuple(scat(v) for v in fields)}
+    g6 = (jnp.zeros((rb * res, 6), pos.dtype)
+          .at[bflat].add(_moment_payload(bulk_pos, tree_mass), mode="drop")
+          .reshape(rb, res, 6))
+    band_grids = {levels: tuple(g6[:, :, i] for i in range(6))}
     for l in range(levels - 1, ls - 1, -1):
         r_l = 1 << l
         rb_l = r_l // p_dev
@@ -205,8 +203,7 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
             up = _l2l_upsample(local, size / r_l)
             local = tuple(u + t for u, t in zip(up, terms))
 
-    # ---------------- L2P on band particles -----------------------------
-    fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = local   # [rb, res]
+    # ---------------- L2P on band particles (one fused 9-term gather) ---
     s_l = size / res
     cellx, celly = ci[:, 0], ci[:, 1]
     lrow = cellx - row0
@@ -216,14 +213,14 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
     centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
     dxp = pos[:, 0] - centx
     dyp = pos[:, 1] - centy
-    hxxx_g = hxxx[lr, celly]
-    hxxy_g = hxxy[lr, celly]
-    hxyy_g = hxyy[lr, celly]
-    hyyy_g = hyyy[lr, celly]
-    far_x = (fx[lr, celly] + jxx[lr, celly] * dxp + jxy[lr, celly] * dyp
+    loc9 = jnp.stack(local, axis=0).reshape(9, rb * res)
+    g = loc9[:, lr * res + celly]                           # [9, N]
+    (fx_g, fy_g, jxx_g, jxy_g, jyy_g,
+     hxxx_g, hxxy_g, hxyy_g, hyyy_g) = (g[i] for i in range(9))
+    far_x = (fx_g + jxx_g * dxp + jxy_g * dyp
              + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
                       + hxyy_g * dyp * dyp))
-    far_y = (fy[lr, celly] + jxy[lr, celly] * dxp + jyy[lr, celly] * dyp
+    far_y = (fy_g + jxy_g * dxp + jyy_g * dyp
              + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
                       + hyyy_g * dyp * dyp))
     far = g_const * jnp.stack([far_x, far_y], axis=-1)
@@ -251,26 +248,49 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
     in_win = is_bulk_s & (wrow_nf >= 0) & (wrow_nf < rows_w)
     wflat = jnp.where(in_win, wrow_nf * res + ci_s[:, 1], rows_w * res)
 
-    def nf_scat(vals):
-        return (jnp.zeros((rows_w * res, near_cap), pos.dtype)
-                .at[wflat, slot_w].set(vals, mode="drop")
-                .reshape(rows_w, res, near_cap))
-
-    bx = nf_scat(pos_s[:, 0])
-    by = nf_scat(pos_s[:, 1])
-    bm = nf_scat(jnp.where(in_cap, mass_s, 0.0))
-    accx, accy = _bucket_stencil_dispatch(
-        bx, by, bm, rr, eps_sq, rb, nf_pallas, interpret)  # [rb, res, K]
-
+    zero_m = jnp.where(in_cap, mass_s, 0.0)
     brow = ci_s[:, 0] - row0
     g_mask = is_bulk_s & (brow >= 0) & (brow < rb) & in_cap
-    gidx = jnp.clip(brow, 0, rb - 1) * res + ci_s[:, 1]
     slot_c = jnp.minimum(slot, near_cap - 1)
-    ax_s = jnp.where(g_mask, accx.reshape(rb * res, near_cap)[gidx, slot_c],
-                     0.0)
-    ay_s = jnp.where(g_mask, accy.reshape(rb * res, near_cap)[gidx, slot_c],
-                     0.0)
-    acc_s = jnp.stack([ax_s, ay_s], axis=-1)                  # sorted order
+    col_s = ci_s[:, 1]
+    if nf_pallas and rr >= 1:
+        # Scatter straight into the kernel's slot-major flat layout (see
+        # barneshut._near_field_buckets — same fast path, band-sized).
+        from nbodysim_tpu.kernels.nearfield import (
+            _FlatLayout, bucket_stencil_pallas_flat)
+
+        layout = _FlatLayout(rb, res, near_cap, rr, 1024)
+        pf = jnp.where(in_win, layout.flat_index(wrow_nf, col_s),
+                       layout.f_len)
+
+        def scat_f(v):
+            return (jnp.zeros((near_cap, layout.f_len), pos.dtype)
+                    .at[slot_w, pf].set(v, mode="drop"))
+
+        outx, outy = bucket_stencil_pallas_flat(
+            scat_f(pos_s[:, 0]), scat_f(pos_s[:, 1]), scat_f(zero_m),
+            layout, eps_sq=eps_sq, interpret=interpret)
+        opos = jnp.minimum(
+            jnp.where(g_mask, layout.out_index(jnp.clip(brow, 0, rb - 1),
+                                               col_s), 0),
+            outx.shape[1] - 1)
+        ax_s = jnp.where(g_mask, outx[slot_c, opos], 0.0)
+        ay_s = jnp.where(g_mask, outy[slot_c, opos], 0.0)
+    else:
+        def nf_scat(vals):
+            return (jnp.zeros((rows_w * res, near_cap), pos.dtype)
+                    .at[wflat, slot_w].set(vals, mode="drop")
+                    .reshape(rows_w, res, near_cap))
+
+        accx, accy = _bucket_stencil_dispatch(
+            nf_scat(pos_s[:, 0]), nf_scat(pos_s[:, 1]), nf_scat(zero_m),
+            rr, eps_sq, rb, False, interpret)              # [rb, res, K]
+        gidx = jnp.clip(brow, 0, rb - 1) * res + col_s
+        ax_s = jnp.where(
+            g_mask, accx.reshape(rb * res, near_cap)[gidx, slot_c], 0.0)
+        ay_s = jnp.where(
+            g_mask, accy.reshape(rb * res, near_cap)[gidx, slot_c], 0.0)
+    acc_s = jnp.stack([ax_s, ay_s], axis=-1)                  # sorted
 
     # ---------------- per-band overflow residual ------------------------
     # Same structure as the single-chip residual (barneshut.py), band-

@@ -79,27 +79,35 @@ def _bounding_square(pos: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return center - 0.5 * size, size
 
 
+def _moment_payload(pos, mass):
+    """[N, 6] raw-moment rows: monopole + first + second moments
+    (quadrupole about the COM is derived in M2L as Q_ij = r_ij - m c_i c_j;
+    raw moments pool additively)."""
+    px, py = pos[:, 0], pos[:, 1]
+    return jnp.stack(
+        (mass, mass * px, mass * py,
+         mass * px * px, mass * px * py, mass * py * py), axis=-1)
+
+
 def _build_pyramid(pos, mass, levels: int):
-    """Mass + mass-weighted-position grids for levels L..0 (fine to coarse)."""
+    """Mass + mass-weighted-position grids for levels L..0 (fine to coarse).
+
+    The 6 moment fields scatter as ONE [N, 6]-payload scatter-add and pool
+    as one stacked op per level (6 separate 1M-particle scatters were the
+    round-1 build's dominant cost)."""
     corner, size = _bounding_square(pos)
     res = 1 << levels
     u = (pos - corner) / size
     ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)     # [N, 2]
     flat = ci[:, 0] * res + ci[:, 1]
 
-    def scat(v):
-        return jnp.zeros((res * res,), pos.dtype).at[flat].add(v)
-
-    # Monopole + raw second moments (quadrupole about the COM is derived
-    # in M2L as Q_ij = r_ij - m c_i c_j; raw moments pool additively).
-    px, py = pos[:, 0], pos[:, 1]
-    fields = (mass, mass * px, mass * py,
-              mass * px * px, mass * px * py, mass * py * py)
-    grids = {levels: tuple(scat(v).reshape(res, res) for v in fields)}
+    g6 = jnp.zeros((res * res, 6), pos.dtype).at[flat].add(
+        _moment_payload(pos, mass)).reshape(res, res, 6)
+    grids = {levels: tuple(g6[:, :, i] for i in range(6))}
     for l in range(levels - 1, -1, -1):
         r = 1 << l
-        grids[l] = tuple(
-            g.reshape(r, 2, r, 2).sum((1, 3)) for g in grids[l + 1])
+        g6 = g6.reshape(r, 2, r, 2, 6).sum((1, 3))
+        grids[l] = tuple(g6[:, :, i] for i in range(6))
     return grids, corner, size, ci, flat
 
 
@@ -390,31 +398,53 @@ def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     mass_s = mass[order]
     zero_m = jnp.where(in_cap, mass_s, 0.0)
 
-    bx = jnp.zeros((res * res, cap), pos.dtype)
-    by = jnp.zeros((res * res, cap), pos.dtype)
-    bm = jnp.zeros((res * res, cap), pos.dtype)
     # Unique (cell, slot) destinations: no scatter conflicts. Overflow
     # particles scatter out of bounds (slot=cap) and are dropped — never
     # clobbering the last in-cap slot.
     slot_w = jnp.where(in_cap, slot, cap)
-    bx = bx.at[flat_s, slot_w].set(pos_s[:, 0], mode="drop")
-    by = by.at[flat_s, slot_w].set(pos_s[:, 1], mode="drop")
-    bm = bm.at[flat_s, slot_w].set(zero_m, mode="drop")
-    bx = bx.reshape(res, res, cap)
-    by = by.reshape(res, res, cap)
-    bm = bm.reshape(res, res, cap)
-
     rr = radius - 1
-    bx_w = jnp.pad(bx, ((rr, rr), (0, 0), (0, 0)))
-    by_w = jnp.pad(by, ((rr, rr), (0, 0), (0, 0)))
-    bm_w = jnp.pad(bm, ((rr, rr), (0, 0), (0, 0)))
-    accx, accy = _bucket_stencil_dispatch(
-        bx_w, by_w, bm_w, rr, eps_sq, res, use_pallas, interpret)
+    if use_pallas and rr >= 1:
+        # TPU hot path: scatter STRAIGHT into the kernel's slot-major flat
+        # layout [K, F] (no [rows, res, K] grid, no transpose; minor dims
+        # stay large so TPU tiling doesn't blow up).
+        from nbodysim_tpu.kernels.nearfield import (
+            _FlatLayout, bucket_stencil_pallas_flat)
 
-    accx = accx.reshape(res * res, cap)
-    accy = accy.reshape(res * res, cap)
-    ax_s = jnp.where(in_cap, accx[flat_s, slot_c], 0.0)
-    ay_s = jnp.where(in_cap, accy[flat_s, slot_c], 0.0)
+        layout = _FlatLayout(res, res, cap, rr, 1024)
+        row = flat_s // res
+        col = flat_s % res
+        ok = flat_s < res * res
+        pf = jnp.where(ok, layout.flat_index(row + rr, col), layout.f_len)
+
+        def scat_f(v):
+            return (jnp.zeros((cap, layout.f_len), pos.dtype)
+                    .at[slot_w, pf].set(v, mode="drop"))
+
+        outx, outy = bucket_stencil_pallas_flat(
+            scat_f(pos_s[:, 0]), scat_f(pos_s[:, 1]), scat_f(zero_m),
+            layout, eps_sq=eps_sq, interpret=interpret)
+        opos = jnp.minimum(jnp.where(ok, layout.out_index(row, col), 0),
+                           outx.shape[1] - 1)
+        keep = in_cap & ok
+        ax_s = jnp.where(keep, outx[slot_c, opos], 0.0)
+        ay_s = jnp.where(keep, outy[slot_c, opos], 0.0)
+    else:
+        def scat(v):
+            return (jnp.zeros((res * res, cap), pos.dtype)
+                    .at[flat_s, slot_w].set(v, mode="drop")
+                    .reshape(res, res, cap))
+
+        bx = scat(pos_s[:, 0])
+        by = scat(pos_s[:, 1])
+        bm = scat(zero_m)
+        bx_w = jnp.pad(bx, ((rr, rr), (0, 0), (0, 0)))
+        by_w = jnp.pad(by, ((rr, rr), (0, 0), (0, 0)))
+        bm_w = jnp.pad(bm, ((rr, rr), (0, 0), (0, 0)))
+        accx, accy = _bucket_stencil(bx_w, by_w, bm_w, rr, eps_sq, res)
+        accx = accx.reshape(res * res, cap)
+        accy = accy.reshape(res * res, cap)
+        ax_s = jnp.where(in_cap, accx[flat_s, slot_c], 0.0)
+        ay_s = jnp.where(in_cap, accy[flat_s, slot_c], 0.0)
     acc_s = jnp.stack([ax_s, ay_s], axis=-1)
 
     # --- exact residual for bucket overflow (clustered cells) ----------
@@ -570,8 +600,8 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                 u + t for u, t in zip(_l2l_upsample(local, s_child), terms)
             )
 
-    # L2P: one gather of (F, J, H) per particle + second-order evaluation.
-    fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = local
+    # L2P: ONE fused gather of the 9 (F, J, H) terms per particle +
+    # second-order evaluation (9 separate [N]-gathers cost 9 HBM passes).
     res = 1 << levels
     s_l = size / res
     cellx = ci[:, 0]
@@ -580,16 +610,14 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
     dxp = pos[:, 0] - centx
     dyp = pos[:, 1] - centy
-    hxxx_g = hxxx[cellx, celly]
-    hxxy_g = hxxy[cellx, celly]
-    hxyy_g = hxyy[cellx, celly]
-    hyyy_g = hyyy[cellx, celly]
-    far_x = (fx[cellx, celly] + jxx[cellx, celly] * dxp
-             + jxy[cellx, celly] * dyp
+    loc9 = jnp.stack(local, axis=0).reshape(9, res * res)
+    g = loc9[:, cellx * res + celly]                   # [9, N]
+    (fx_g, fy_g, jxx_g, jxy_g, jyy_g,
+     hxxx_g, hxxy_g, hxyy_g, hyyy_g) = (g[i] for i in range(9))
+    far_x = (fx_g + jxx_g * dxp + jxy_g * dyp
              + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
                       + hxyy_g * dyp * dyp))
-    far_y = (fy[cellx, celly] + jxy[cellx, celly] * dxp
-             + jyy[cellx, celly] * dyp
+    far_y = (fy_g + jxy_g * dxp + jyy_g * dyp
              + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
                       + hyyy_g * dyp * dyp))
     far = g_const * jnp.stack([far_x, far_y], axis=-1)

@@ -197,11 +197,12 @@ def potential_energy(
     return -0.5 * g_const * jnp.sum(per_block)
 
 
-# Measured exact-vs-tree crossover on one v5e chip (round 1): the stencil
-# FMM at default R=3 beats the exact Pallas kernel for N above ~200k
-# (N=262k: FMM ~0.13 s vs exact ~0.34 s; at N=131k they tie). Below it the
-# exact kernel wins and is, well, exact.
-BH_AUTO_THRESHOLD = 200_000
+# Measured exact-vs-tree crossover on one v5e chip (round 2, with the
+# Pallas near-field kernel): the stencil FMM at default R=3 beats the
+# exact Pallas kernel from ~90k particles (N=65k: 23 ms exact vs 36 ms
+# FMM; N=131k: 80 ms exact vs 47 ms FMM). Below it the exact kernel wins
+# and is, well, exact.
+BH_AUTO_THRESHOLD = 100_000
 
 
 def resolve_backend(config: SimConfig, n: int, dim: int) -> str:

@@ -81,7 +81,7 @@ def test_set_dt_rebuilds_step():
 
 
 def test_resolve_backend_crossover():
-    """'auto' switches exact -> tree at the measured ~200k crossover
+    """'auto' switches exact -> tree at the measured ~90k crossover
     (2D only; 3D has no tree backend)."""
     from nbodysim_tpu.physics.forces import BH_AUTO_THRESHOLD, resolve_backend
 
