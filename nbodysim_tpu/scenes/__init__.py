@@ -3,8 +3,9 @@
 The reference ships one generator, `uniform_disc` (Simulation.hpp:347-603):
 a Lorenz-attractor-shaped disc around a 1e9-mass central body, with a
 3-bucket mass distribution and circular-orbit velocity rescaling. We provide
-that scene (corrected per SURVEY.md bug #1) plus the BASELINE.json configs:
-2-body Kepler, Plummer sphere, and a galaxy merger.
+that scene (corrected per SURVEY.md bug #1) plus the BASELINE.json configs
+(2-body Kepler, Plummer sphere, galaxy merger) and two extension scenes: a
+logarithmic-spiral galaxy and a Kuzmin disc (closed-form rotation curve).
 
 All scenes are deterministic in `config.seed` via jax.random (the reference
 used a fixed `mt19937 rng(0)`, Simulation.hpp:349).
@@ -20,6 +21,8 @@ from nbodysim_tpu.scenes.disc import uniform_disc
 from nbodysim_tpu.scenes.kepler import kepler_orbit, kepler_system
 from nbodysim_tpu.scenes.plummer import plummer_sphere
 from nbodysim_tpu.scenes.galaxy import galaxy_merger
+from nbodysim_tpu.scenes.spiral import spiral_galaxy
+from nbodysim_tpu.scenes.kuzmin import kuzmin_disc
 
 SCENES: Dict[str, Callable[..., ParticleState]] = {
     "uniform_disc": uniform_disc,
@@ -27,6 +30,8 @@ SCENES: Dict[str, Callable[..., ParticleState]] = {
     "kepler_system": kepler_system,
     "plummer": plummer_sphere,
     "galaxy_merger": galaxy_merger,
+    "spiral": spiral_galaxy,
+    "kuzmin": kuzmin_disc,
 }
 
 
@@ -45,4 +50,6 @@ __all__ = [
     "kepler_system",
     "plummer_sphere",
     "galaxy_merger",
+    "spiral_galaxy",
+    "kuzmin_disc",
 ]

@@ -111,3 +111,61 @@ def test_all_scenes_run():
         state = init_scene(name, config)
         assert state.n >= 2
         assert np.all(np.isfinite(np.asarray(state.pos)))
+
+
+def test_spiral_structure():
+    config = SimConfig(n=4096, force_backend="xla")
+    # Small scatter so the arm-concentration check is sharp (the radial
+    # scatter also shifts the implied arm phase by ~scatter/pitch).
+    state = init_scene("spiral", config, arm_scatter=0.03)
+    assert state.n == 4096
+    # Central body first, mass 1e9, radius 200 (flagship-disc convention).
+    assert float(state.mass[0]) == 1.0e9
+    assert float(state.radius[0]) == 200.0
+    pos = np.asarray(state.pos[1:])
+    vel = np.asarray(state.vel[1:])
+    r = np.linalg.norm(pos, axis=-1)
+    # Arm structure: satellite angles cluster around the log-spiral phase.
+    # theta(r) = log(r/r_min)/pitch; residual (phi - theta) mod (2pi/m)
+    # should concentrate near 0 (scatter 0.12 rad), not be uniform.
+    outer = np.sqrt(4096) * 300.7
+    theta = np.log(r / (0.02 * outer)) / 0.28
+    phi = np.arctan2(pos[:, 1], pos[:, 0])
+    resid = (phi - theta) % (2 * np.pi / 2)
+    resid = np.minimum(resid, 2 * np.pi / 2 - resid)  # distance to arm
+    # Combined azimuthal + radial-scatter-induced spread ~ 0.03*(1+1/0.28)
+    # ~ 0.14 rad; a uniform azimuth distribution would give median ~ 0.79.
+    assert np.median(resid) < 0.3, "satellites not concentrated on arms"
+    # Velocities tangential: pos.vel ~ 0.
+    dots = np.abs(np.sum(pos * vel, axis=-1))
+    speeds = np.linalg.norm(vel, axis=-1)
+    assert np.all(dots < 1e-2 * r * speeds + 1e-5)
+
+
+def test_kuzmin_rotation_curve_and_profile():
+    config = SimConfig(n=8192, force_backend="xla", seed=3)
+    total_mass, a = 1.0e9, 500.0
+    state = init_scene("kuzmin", config, total_mass=total_mass,
+                       scale_radius=a)
+    pos = np.asarray(state.pos)
+    vel = np.asarray(state.vel)
+    r = np.linalg.norm(pos, axis=-1)
+    # Rotation curve matches the closed form v_c^2 = G M r^2/(r^2+a^2)^1.5.
+    v_expected = np.sqrt(1.0 * total_mass) * r / (r**2 + a**2) ** 0.75
+    np.testing.assert_allclose(
+        np.linalg.norm(vel, axis=-1), v_expected, rtol=1e-4)
+    # Enclosed-mass profile: median radius of the sample should sit at the
+    # (truncation-adjusted) analytic half-mass radius.
+    u_max = 1.0 - 1.0 / np.sqrt(1.0 + 20.0**2)
+    u_med = 0.5 * u_max
+    r_med_expected = a * np.sqrt(1.0 / (1.0 - u_med) ** 2 - 1.0)
+    assert abs(np.median(r) - r_med_expected) < 0.05 * r_med_expected
+
+
+def test_extension_scenes_3d():
+    config = SimConfig(n=256, dim=3, force_backend="xla")
+    for name in ("spiral", "kuzmin"):
+        state = init_scene(name, config)
+        assert state.pos.shape == (256, 3)
+        assert np.all(np.isfinite(np.asarray(state.pos)))
+        assert np.all(np.isfinite(np.asarray(state.vel)))
