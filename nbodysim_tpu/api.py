@@ -64,9 +64,13 @@ class Simulation:
 
         exceeded = False
         backend = resolve_backend(self.config, self.state.n, self.state.dim)
-        if backend == "bh" and self.state.dim == 2:
+        if backend == "bh":
             from nbodysim_tpu.physics.barneshut import (
                 _OVERFLOW_CAP, bh_near_overflow)
+
+            if self.state.dim == 3:
+                from nbodysim_tpu.physics.barneshut3d import (
+                    bh3_near_overflow as bh_near_overflow)
 
             over = bh_near_overflow(self.state.pos, self.state.mass,
                                     self.config)

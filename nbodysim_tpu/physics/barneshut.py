@@ -274,8 +274,9 @@ def _near_masked_blocked(tgt_pos, tgt_cell, src_pos, src_mass, src_cell,
                          eps_sq, rr1: int):
     """Near-cell-masked pairwise accs (cheb(cells) <= rr1), blocked over
     BOTH axes so the pair temp stays [<=2048, <=2048] regardless of set
-    sizes. Shared by the single-chip overflow residual and the banded
-    multi-chip one (parallel/tree.py)."""
+    sizes. Shared by the single-chip overflow residual, the banded
+    multi-chip one (parallel/tree.py), and the 3D octree (barneshut3d.py) —
+    dim-agnostic."""
     from nbodysim_tpu.core.blocking import pairwise_blocked
 
     def kernel(tgt, src):
@@ -293,7 +294,8 @@ def _near_masked_blocked(tgt_pos, tgt_cell, src_pos, src_mass, src_cell,
 
     (acc,) = pairwise_blocked(
         kernel, (tgt_pos, tgt_cell), (src_pos, src_mass, src_cell),
-        out_dims=((2,),), dtype=tgt_pos.dtype, bs_t=2048, bs_s=2048)
+        out_dims=((tgt_pos.shape[1],),), dtype=tgt_pos.dtype,
+        bs_t=2048, bs_s=2048)
     return acc
 
 
@@ -675,12 +677,15 @@ def _resolve_levels(config: SimConfig, n: int) -> int:
 
 def bh_accelerations(pos: jax.Array, mass: jax.Array,
                      config: SimConfig) -> jax.Array:
-    """Approximate softened accelerations via the stencil FMM tree code."""
-    if pos.shape[1] != 2:
-        raise NotImplementedError(
-            "the Barnes-Hut backend is 2D (like the reference); use the "
-            "all-pairs backends for 3D"
-        )
+    """Approximate softened accelerations via the stencil FMM tree code.
+
+    dim=2 runs this quadtree pyramid; dim=3 dispatches to the octree FMM
+    (physics/barneshut3d.py, the framework's own extension — the reference
+    tree is 2D-only)."""
+    if pos.shape[1] == 3:
+        from nbodysim_tpu.physics.barneshut3d import bh3_accelerations
+
+        return bh3_accelerations(pos, mass, config)
     n = pos.shape[0]
     levels = _resolve_levels(config, n)
     return _bh_accelerations(

@@ -1,0 +1,506 @@
+"""3D octree FMM on TPU — the stencil tree code generalized to dim=3.
+
+The reference is strictly 2D (Quadtree.hpp); this module is the framework's
+own extension so that "3D is supported throughout" (config.py:30) includes
+the tree code, not just the exact all-pairs kernels. It is the same
+architecture as physics/barneshut.py, taken from quadtree to octree:
+
+  upward:      one [N, 10]-payload scatter of the 3D raw moments
+               (m, m*r_i, m*r_i*r_j) into the finest 2^L x 2^L x 2^L grid,
+               2x2x2 sum-pool up the pyramid.
+  M2L:         per level, for each static V-list offset (Chebyshev distance
+               in [R, 2R-1], (4R-1)^3 - (2R-1)^3 offsets), shift the moment
+               grids (pad + dynamic_slice under lax.scan) and accumulate a
+               p=2 local expansion at each cell center: force F [3],
+               Jacobian J [6 sym], force Hessian H [10 sym], with the
+               quadrupole source moment folded into F. The boundary ring
+               (cheb == 2R-1) is parity-gated exactly as in 2D, per axis.
+  L2L:         re-center down the pyramid: F' = F + J d + 1/2 d^T H d,
+               J' = J + H d, H' = H (d = child-center offset, 8 children).
+  L2P:         ONE fused [19, N] gather of the local terms at each
+               particle's finest cell + second-order Taylor evaluation.
+  near field:  the (2R-1)^3 finest-cell neighborhood resolved particle-
+               particle on a dense [r, r, r, K] bucket grid: for each
+               static neighbor offset a broadcast K x K pairwise block.
+
+The same two exactness safeguards as 2D (shared code, barneshut.py):
+heavy-hitter extraction (top-64 masses above 0.1% of total leave the tree,
+exact [N, 64] coupling) and the bucket-overflow residual (compact exact
+near-masked pass, lax.cond-gated), plus outlier extraction so a distant
+halo cannot inflate the bounding cube.
+
+Derivatives (Plummer-softened kernel a_i = m d_i q^{-3/2}, q = |d|^2 + eps^2,
+d = source - target):
+  J_ij    = m [3 d_i d_j q^{-5/2} - delta_ij q^{-3/2}]
+  T_ijk   = 15 d_i d_j d_k q^{-7/2}
+            - 3 (delta_ij d_k + delta_ik d_j + delta_jk d_i) q^{-5/2}
+  H_ijk   = m T_ijk;   quadrupole force F_i += 1/2 Q_jk T_ijk.
+These are the 2D formulas (barneshut.py:199-231) with the index set {x,y,z};
+all symmetric-tensor contractions are written out component-wise (6 J, 10 H).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.physics.barneshut import (
+    NEAR_CAP,
+    _OVERFLOW_CAP,
+    _extract_heavy_outliers,
+    _near_masked_blocked,
+    _resolve_radius,
+    heavy_coupling,
+)
+
+_MAX_LEVELS_3D = 7   # 128^3 = 2M cells; L=8 (16M cells) overwhelms compile
+
+
+def _bounding_cube(pos: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(corner, size) of a cube containing all particles, slightly padded."""
+    mn = jnp.min(pos, axis=0)
+    mx = jnp.max(pos, axis=0)
+    center = 0.5 * (mn + mx)
+    size = jnp.max(mx - mn) * 1.0001 + 1e-6
+    return center - 0.5 * size, size
+
+
+def _moment_payload3(pos, mass):
+    """[N, 10] raw-moment rows: m, m*x, m*y, m*z, m*xx, m*xy, m*xz, m*yy,
+    m*yz, m*zz (quadrupole about the COM derived in M2L; raw moments pool
+    additively)."""
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    return jnp.stack(
+        (mass, mass * px, mass * py, mass * pz,
+         mass * px * px, mass * px * py, mass * px * pz,
+         mass * py * py, mass * py * pz, mass * pz * pz), axis=-1)
+
+
+def _build_pyramid3(pos, mass, levels: int):
+    """Moment grids for levels L..0 (fine to coarse), each a [r, r, r, 10]
+    array. One fused scatter at the finest level, stacked pooling above."""
+    corner, size = _bounding_cube(pos)
+    res = 1 << levels
+    u = (pos - corner) / size
+    ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)     # [N, 3]
+    flat = (ci[:, 0] * res + ci[:, 1]) * res + ci[:, 2]
+
+    g = jnp.zeros((res * res * res, 10), pos.dtype).at[flat].add(
+        _moment_payload3(pos, mass)).reshape(res, res, res, 10)
+    grids = {levels: g}
+    for l in range(levels - 1, -1, -1):
+        r = 1 << l
+        g = g.reshape(r, 2, r, 2, r, 2, 10).sum((1, 3, 5))
+        grids[l] = g
+    return grids, corner, size, ci, flat
+
+
+def _m2l_level3(g10, corner, size, eps_sq, radius: int):
+    """V-list stencil at one full level -> p=2 local terms (19 x [r,r,r])."""
+    r_full = g10.shape[0]
+    R = radius
+    p = 2 * R - 1
+    dtype = g10.dtype
+
+    m_w = jnp.pad(g10[..., 0], p)
+    safe_m = jnp.where(m_w > 0, m_w, 1.0)
+    com = [jnp.pad(g10[..., 1 + a], p) / safe_m for a in range(3)]
+    # Quadrupole about the COM (dipole vanishes by construction).
+    raw = [jnp.pad(g10[..., 4 + i], p) for i in range(6)]
+    cx_, cy_, cz_ = com
+    q_w = (raw[0] - m_w * cx_ * cx_, raw[1] - m_w * cx_ * cy_,
+           raw[2] - m_w * cx_ * cz_, raw[3] - m_w * cy_ * cy_,
+           raw[4] - m_w * cy_ * cz_, raw[5] - m_w * cz_ * cz_)
+
+    s_l = size / r_full
+    shape = (r_full, r_full, r_full)
+    ii = lax.broadcasted_iota(jnp.int32, shape, 0)
+    jj = lax.broadcasted_iota(jnp.int32, shape, 1)
+    kk = lax.broadcasted_iota(jnp.int32, shape, 2)
+    cx = corner[0] + (ii.astype(dtype) + 0.5) * s_l
+    cy = corner[1] + (jj.astype(dtype) + 0.5) * s_l
+    cz = corner[2] + (kk.astype(dtype) + 0.5) * s_l
+    parx, pary, parz = ii & 1, jj & 1, kk & 1
+
+    offsets = jnp.array(
+        [(ox, oy, oz)
+         for ox in range(-p, p + 1)
+         for oy in range(-p, p + 1)
+         for oz in range(-p, p + 1)
+         if max(abs(ox), abs(oy), abs(oz)) >= R],
+        jnp.int32,
+    )
+
+    def body(carry, o):
+        (fx, fy, fz, jxx, jxy, jxz, jyy, jyz, jzz,
+         hxxx, hxxy, hxxz, hxyy, hxyz, hxzz, hyyy, hyyz, hyzz, hzzz) = carry
+        ox, oy, oz = o[0], o[1], o[2]
+        start = (p + ox, p + oy, p + oz)
+        ms = lax.dynamic_slice(m_w, start, shape)
+        sx = lax.dynamic_slice(com[0], start, shape)
+        sy = lax.dynamic_slice(com[1], start, shape)
+        sz = lax.dynamic_slice(com[2], start, shape)
+        sq = [lax.dynamic_slice(q_w[i], start, shape) for i in range(6)]
+        # Boundary ring (cheb == 2R-1): parity-gated for exactly-once
+        # coverage (source's parent inside the parent-level near set).
+        cheb = jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)), jnp.abs(oz))
+        pxo = (ox + parx) >> 1
+        pyo = (oy + pary) >> 1
+        pzo = (oz + parz) >> 1
+        pm_ok = ((jnp.abs(pxo) <= R - 1) & (jnp.abs(pyo) <= R - 1)
+                 & (jnp.abs(pzo) <= R - 1))
+        keep = (cheb < 2 * R - 1) | pm_ok
+        ms = jnp.where(keep, ms, 0.0)
+        sqxx, sqxy, sqxz, sqyy, sqyz, sqzz = (
+            jnp.where(keep, s, 0.0) for s in sq)
+
+        dx = sx - cx
+        dy = sy - cy
+        dz = sz - cz
+        q = dx * dx + dy * dy + dz * dz + eps_sq
+        inv = lax.rsqrt(q)
+        inv3 = inv * inv * inv
+        inv5 = inv3 * inv * inv
+        inv7 = inv5 * inv * inv
+        w3 = ms * inv3
+        w5 = 3.0 * ms * inv5
+        u7 = 15.0 * inv7
+        u5 = 3.0 * inv5
+        # Unit-mass third-derivative tensor components (10).
+        txxx = u7 * dx * dx * dx - 3.0 * u5 * dx
+        txxy = u7 * dx * dx * dy - u5 * dy
+        txxz = u7 * dx * dx * dz - u5 * dz
+        txyy = u7 * dx * dy * dy - u5 * dx
+        txyz = u7 * dx * dy * dz
+        txzz = u7 * dx * dz * dz - u5 * dx
+        tyyy = u7 * dy * dy * dy - 3.0 * u5 * dy
+        tyyz = u7 * dy * dy * dz - u5 * dz
+        tyzz = u7 * dy * dz * dz - u5 * dy
+        tzzz = u7 * dz * dz * dz - 3.0 * u5 * dz
+        # Quadrupole source term: F_i += 1/2 Q_jk T_ijk.
+        fq_x = 0.5 * (sqxx * txxx + sqyy * txyy + sqzz * txzz
+                      + 2.0 * (sqxy * txxy + sqxz * txxz + sqyz * txyz))
+        fq_y = 0.5 * (sqxx * txxy + sqyy * tyyy + sqzz * tyzz
+                      + 2.0 * (sqxy * txyy + sqxz * txyz + sqyz * tyyz))
+        fq_z = 0.5 * (sqxx * txxz + sqyy * tyyz + sqzz * tzzz
+                      + 2.0 * (sqxy * txyz + sqxz * txzz + sqyz * tyzz))
+        return (fx + w3 * dx + fq_x, fy + w3 * dy + fq_y,
+                fz + w3 * dz + fq_z,
+                jxx + w5 * dx * dx - w3,
+                jxy + w5 * dx * dy,
+                jxz + w5 * dx * dz,
+                jyy + w5 * dy * dy - w3,
+                jyz + w5 * dy * dz,
+                jzz + w5 * dz * dz - w3,
+                hxxx + ms * txxx, hxxy + ms * txxy, hxxz + ms * txxz,
+                hxyy + ms * txyy, hxyz + ms * txyz, hxzz + ms * txzz,
+                hyyy + ms * tyyy, hyyz + ms * tyyz, hyzz + ms * tyzz,
+                hzzz + ms * tzzz), None
+
+    zeros = jnp.zeros(shape, dtype)
+    out, _ = lax.scan(body, (zeros,) * 19, offsets)
+    return out
+
+
+def _taylor_eval3(local19, ex, ey, ez):
+    """Second-order Taylor of (F, J) at offset (ex, ey, ez). Shared by L2L
+    (child-center offsets) and L2P (particle offsets). Returns the 19 terms
+    re-centered (H unchanged)."""
+    (fx, fy, fz, jxx, jxy, jxz, jyy, jyz, jzz,
+     hxxx, hxxy, hxxz, hxyy, hxyz, hxzz, hyyy, hyyz, hyzz, hzzz) = local19
+    fxc = (fx + jxx * ex + jxy * ey + jxz * ez
+           + 0.5 * (hxxx * ex * ex + hxyy * ey * ey + hxzz * ez * ez)
+           + hxxy * ex * ey + hxxz * ex * ez + hxyz * ey * ez)
+    fyc = (fy + jxy * ex + jyy * ey + jyz * ez
+           + 0.5 * (hxxy * ex * ex + hyyy * ey * ey + hyzz * ez * ez)
+           + hxyy * ex * ey + hxyz * ex * ez + hyyz * ey * ez)
+    fzc = (fz + jxz * ex + jyz * ey + jzz * ez
+           + 0.5 * (hxxz * ex * ex + hyyz * ey * ey + hzzz * ez * ez)
+           + hxyz * ex * ey + hxzz * ex * ez + hyzz * ey * ez)
+    jxxc = jxx + hxxx * ex + hxxy * ey + hxxz * ez
+    jxyc = jxy + hxxy * ex + hxyy * ey + hxyz * ez
+    jxzc = jxz + hxxz * ex + hxyz * ey + hxzz * ez
+    jyyc = jyy + hxyy * ex + hyyy * ey + hyyz * ez
+    jyzc = jyz + hxyz * ex + hyyz * ey + hyzz * ez
+    jzzc = jzz + hxzz * ex + hyzz * ey + hzzz * ez
+    return (fxc, fyc, fzc, jxxc, jxyc, jxzc, jyyc, jyzc, jzzc,
+            hxxx, hxxy, hxxz, hxyy, hxyz, hxzz, hyyy, hyyz, hyzz, hzzz)
+
+
+def _l2l_upsample3(local19, s_child):
+    """Shift parent local expansions to the 8 child centers and upsample."""
+    r = local19[0].shape[0]
+
+    def up(a):
+        return jnp.repeat(
+            jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1), 2, axis=2)
+
+    dtype = local19[0].dtype
+    shape2 = (2 * r, 2 * r, 2 * r)
+    ex = ((lax.broadcasted_iota(jnp.int32, shape2, 0) & 1)
+          .astype(dtype) - 0.5) * s_child
+    ey = ((lax.broadcasted_iota(jnp.int32, shape2, 1) & 1)
+          .astype(dtype) - 0.5) * s_child
+    ez = ((lax.broadcasted_iota(jnp.int32, shape2, 2) & 1)
+          .astype(dtype) - 0.5) * s_child
+    return _taylor_eval3(tuple(up(a) for a in local19), ex, ey, ez)
+
+
+def _bucket_stencil3(bx, by, bz, bm, rr: int, eps_sq):
+    """K x K pair stencil over a dense 3D bucket grid.
+
+    bx/by/bz/bm: [res, res, res, cap]. For each of the (2rr+1)^3 static
+    neighbor offsets, a broadcast K x K pairwise block; empty slots carry
+    zero mass so they vanish without masks. Chunked over the leading axis
+    so temps stay bounded. Returns (ax, ay, az), [res, res, res, cap]."""
+    res = bx.shape[0]
+    cap = bx.shape[3]
+    dtype = bx.dtype
+
+    offsets = jnp.array(
+        [(ox, oy, oz)
+         for ox in range(-rr, rr + 1)
+         for oy in range(-rr, rr + 1)
+         for oz in range(-rr, rr + 1)], jnp.int32)
+
+    def pad3(a):
+        return jnp.pad(a, ((rr, rr), (rr, rr), (rr, rr), (0, 0)))
+
+    bx_p, by_p, bz_p, bm_p = pad3(bx), pad3(by), pad3(bz), pad3(bm)
+
+    chunk = max(1, min(res, (1 << 24) // max(1, res * res * cap * cap)))
+    while res % chunk:
+        chunk -= 1
+    n_chunks = res // chunk
+
+    def body(carry, o):
+        ax, ay, az = carry
+        start = (rr + o[0], rr + o[1], rr + o[2], 0)
+        shp = (res, res, res, cap)
+        spx = lax.dynamic_slice(bx_p, start, shp)
+        spy = lax.dynamic_slice(by_p, start, shp)
+        spz = lax.dynamic_slice(bz_p, start, shp)
+        sm = lax.dynamic_slice(bm_p, start, shp)
+
+        def chunk_fn(args):
+            txc, tyc, tzc, sxc, syc, szc, smc = args
+            dx = sxc[..., None, :] - txc[..., :, None]
+            dy = syc[..., None, :] - tyc[..., :, None]
+            dz = szc[..., None, :] - tzc[..., :, None]
+            d_sq = dx * dx + dy * dy + dz * dz
+            inv = lax.rsqrt(d_sq + eps_sq)
+            w = smc[..., None, :] * (inv * inv * inv)
+            if eps_sq == 0.0:
+                w = jnp.where(d_sq > 0.0, w, 0.0)
+            return (jnp.sum(w * dx, axis=-1), jnp.sum(w * dy, axis=-1),
+                    jnp.sum(w * dz, axis=-1))
+
+        def chop(a):
+            return a.reshape(n_chunks, chunk, res, res, cap)
+
+        gx, gy, gz = lax.map(
+            chunk_fn, tuple(chop(a) for a in
+                            (bx, by, bz, spx, spy, spz, sm)))
+        full = (res, res, res, cap)
+        return (ax + gx.reshape(full), ay + gy.reshape(full),
+                az + gz.reshape(full)), None
+
+    zeros = jnp.zeros((res, res, res, cap), dtype)
+    (ax, ay, az), _ = lax.scan(body, (zeros, zeros, zeros), offsets)
+    return ax, ay, az
+
+
+def _near_field_buckets3(pos, mass, ci, flat, levels: int, eps_sq, g_const,
+                         cap: int, radius: int):
+    """Particle-particle near field on a dense [r, r, r, cap] bucket grid.
+
+    Returns (acc [N, 3], overflow_count). Same slot/overflow machinery as
+    the 2D version (barneshut.py:_near_field_buckets)."""
+    n = pos.shape[0]
+    res = 1 << levels
+
+    order = jnp.argsort(flat)
+    flat_s = flat[order]
+    from nbodysim_tpu.core.blocking import sorted_first_occurrence
+
+    first = sorted_first_occurrence(flat_s)
+    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    overflow = jnp.sum(slot >= cap)
+    in_cap = slot < cap
+    slot_c = jnp.minimum(slot, cap - 1)
+    slot_w = jnp.where(in_cap, slot, cap)
+
+    pos_s = pos[order]
+    mass_s = mass[order]
+    zero_m = jnp.where(in_cap, mass_s, 0.0)
+
+    n_cells = res * res * res
+
+    def scat(v):
+        return (jnp.zeros((n_cells, cap), pos.dtype)
+                .at[flat_s, slot_w].set(v, mode="drop")
+                .reshape(res, res, res, cap))
+
+    bx = scat(pos_s[:, 0])
+    by = scat(pos_s[:, 1])
+    bz = scat(pos_s[:, 2])
+    bm = scat(zero_m)
+
+    rr = radius - 1
+    ax, ay, az = _bucket_stencil3(bx, by, bz, bm, rr, eps_sq)
+    ax = ax.reshape(n_cells, cap)
+    ay = ay.reshape(n_cells, cap)
+    az = az.reshape(n_cells, cap)
+    flat_c = jnp.minimum(flat_s, n_cells - 1)
+    ax_s = jnp.where(in_cap, ax[flat_c, slot_c], 0.0)
+    ay_s = jnp.where(in_cap, ay[flat_c, slot_c], 0.0)
+    az_s = jnp.where(in_cap, az[flat_c, slot_c], 0.0)
+    acc_s = jnp.stack([ax_s, ay_s, az_s], axis=-1)
+
+    # Exact residual for bucket overflow (same scheme as 2D).
+    m_cap = min(n, _OVERFLOW_CAP)
+    ci_s = ci[order]
+
+    def residual(acc_s):
+        over = ~in_cap
+        o_idx = jnp.argsort(in_cap)[:m_cap]
+        o_valid = over[o_idx]
+        o_pos = pos_s[o_idx]
+        o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
+        o_cell = ci_s[o_idx]
+        acc_s = acc_s + _near_masked_blocked(
+            pos_s, ci_s, o_pos, o_mass, o_cell, eps_sq, rr)
+        cap_mass = jnp.where(in_cap, mass_s, 0.0)
+        o_acc = _near_masked_blocked(
+            o_pos, o_cell, pos_s, cap_mass, ci_s, eps_sq, rr)
+        return acc_s.at[o_idx].add(jnp.where(o_valid[:, None], o_acc, 0.0))
+
+    acc_s = lax.cond(overflow > 0, residual, lambda a: a, acc_s)
+
+    inv_order = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+    return g_const * acc_s[inv_order], overflow
+
+
+@functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
+                                             "near_cap", "radius"))
+def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
+                       near_cap: int, radius: int):
+    n = pos.shape[0]
+    ext = _extract_heavy_outliers(pos, mass)
+    is_heavy, h_pos, h_mass = ext["is_heavy"], ext["h_pos"], ext["h_mass"]
+    is_out, out_i = ext["is_out"], ext["out_i"]
+    out_sel = ext["out_sel"]
+
+    acc_heavy = heavy_coupling(pos, h_pos, h_mass, eps_sq, g_const)
+
+    from nbodysim_tpu.physics.forces import direct_accelerations
+
+    acc_out = direct_accelerations(
+        pos[out_i], None, eps_sq, g_const,
+        src_pos=pos, src_mass=jnp.where(is_heavy, 0.0, mass))
+    out_src_mass = jnp.where(out_sel & ~is_heavy[out_i], mass[out_i], 0.0)
+    acc_from_out = direct_accelerations(
+        pos, None, eps_sq, g_const,
+        src_pos=pos[out_i], src_mass=out_src_mass)
+
+    tree_mass = ext["tree_mass"]
+    bulk_pos = ext["bulk_pos"]
+    grids, corner, size, ci, flat = _build_pyramid3(
+        bulk_pos, tree_mass, levels)
+
+    local = None
+    for l in range(2, levels + 1):
+        terms = _m2l_level3(grids[l], corner, size, eps_sq, radius)
+        if local is None:
+            local = terms
+        else:
+            s_child = size / (1 << l)
+            local = tuple(
+                u + t for u, t in zip(_l2l_upsample3(local, s_child), terms))
+
+    # L2P: one fused [19, N] gather + Taylor evaluation at the particle.
+    res = 1 << levels
+    s_l = size / res
+    cellx, celly, cellz = ci[:, 0], ci[:, 1], ci[:, 2]
+    centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
+    centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
+    centz = corner[2] + (cellz.astype(pos.dtype) + 0.5) * s_l
+    dxp = pos[:, 0] - centx
+    dyp = pos[:, 1] - centy
+    dzp = pos[:, 2] - centz
+    loc19 = jnp.stack(local, axis=0).reshape(19, res * res * res)
+    g = loc19[:, (cellx * res + celly) * res + cellz]          # [19, N]
+    ev = _taylor_eval3(tuple(g[i] for i in range(19)), dxp, dyp, dzp)
+    far = g_const * jnp.stack(ev[:3], axis=-1)
+
+    flat_nf = jnp.where(is_out, res * res * res + jnp.arange(n), flat)
+    near, overflow = _near_field_buckets3(
+        pos, tree_mass, ci, flat_nf, levels, eps_sq, g_const, near_cap,
+        radius)
+
+    acc = jnp.where(is_out[:, None], 0.0,
+                    far + near + acc_from_out) + acc_heavy
+    acc = acc.at[out_i].add(jnp.where(out_sel[:, None], acc_out, 0.0))
+    return acc
+
+
+def _resolve_levels3(config: SimConfig, n: int) -> int:
+    levels = config.bh_levels
+    if levels <= 0:
+        # ~1-4 particles per cell, capped at L=6 (64^3 cells). Measured on
+        # one v5e chip (R=2, uniform): 65k: L=5 54ms < L=4 80ms; 262k:
+        # L=6 224ms < L=5 302ms; 1M: L=6 602ms << L=7 1328ms — the octree
+        # M2L is HBM-traffic bound (10 moment slices + 19 accumulator
+        # grids per offset), so past 64^3 the grid costs more than the
+        # K=16 bucket near field absorbs.
+        levels = max(2, min(6, (max(n, 8).bit_length() - 1) // 3))
+    return min(levels, _MAX_LEVELS_3D)
+
+
+def _resolve_radius3(config: SimConfig) -> int:
+    """3D acceptance radius; unlike 2D (floored at R=3, barneshut.py:
+    _resolve_radius), the octree defaults to R=2: the V-list has
+    (4R-1)^3 - (2R-1)^3 offsets (316 at R=2, 1206 at R=3), so R=3 costs
+    ~4x, while the measured R=2 field error (4.3e-3 uniform median) is
+    already 2.5x tighter than the reference's theta=1 fidelity. Set
+    bh_accept_radius=3 explicitly for ~8e-4."""
+    r = config.bh_accept_radius
+    if r <= 0:
+        r = max(2, int(round(1.0 + 1.0 / max(config.theta, 0.25))) - 1)
+    return max(2, min(5, r))
+
+
+def bh3_accelerations(pos: jax.Array, mass: jax.Array,
+                      config: SimConfig) -> jax.Array:
+    """Approximate softened accelerations via the 3D octree FMM."""
+    if pos.shape[1] != 3:
+        raise ValueError("bh3_accelerations is the dim=3 tree code")
+    levels = _resolve_levels3(config, pos.shape[0])
+    return _bh3_accelerations(
+        pos, mass, levels=levels, eps_sq=float(config.eps_sq),
+        g_const=float(config.g_const), near_cap=NEAR_CAP,
+        radius=_resolve_radius3(config))
+
+
+def bh3_near_overflow(pos: jax.Array, mass: jax.Array,
+                      config: SimConfig) -> int:
+    """Diagnostic: bulk particles beyond the 3D near-field bucket cap."""
+    from nbodysim_tpu.core.blocking import sorted_first_occurrence
+
+    n = pos.shape[0]
+    levels = _resolve_levels3(config, n)
+    res = 1 << levels
+
+    ext = _extract_heavy_outliers(pos, mass)
+    _, _, _, _, flat = _build_pyramid3(ext["bulk_pos"], ext["tree_mass"],
+                                       levels)
+    flat_nf = jnp.where(ext["is_out"], res**3 + jnp.arange(n), flat)
+    flat_s = jnp.sort(flat_nf)
+    first = sorted_first_occurrence(flat_s)
+    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    return int(jnp.sum((slot >= NEAR_CAP) & (flat_s < res**3)))

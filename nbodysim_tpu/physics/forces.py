@@ -203,16 +203,21 @@ def potential_energy(
 # FMM; N=131k: 80 ms exact vs 47 ms FMM). Below it the exact kernel wins
 # and is, well, exact.
 BH_AUTO_THRESHOLD = 100_000
+# 3D octree crossover, measured on one v5e chip (uniform cloud, octree
+# defaults R=2/auto levels): N=65k exact 21 ms vs octree 54 ms; N=131k
+# exact 108 ms vs octree 82 ms; N=1M exact 5.92 s vs octree 552 ms (10.7x).
+BH3_AUTO_THRESHOLD = 100_000
 
 
 def resolve_backend(config: SimConfig, n: int, dim: int) -> str:
-    """Resolve 'auto' to a concrete backend: the tree code for large 2D
-    systems (past the measured crossover), the exact all-pairs kernels
-    below it (Pallas on TPU, blocked XLA elsewhere)."""
+    """Resolve 'auto' to a concrete backend: the tree code for large
+    systems (past the measured crossover: quadtree FMM in 2D, octree in
+    3D), the exact all-pairs kernels below it (Pallas on TPU, blocked XLA
+    elsewhere)."""
     backend = config.force_backend
     if backend != "auto":
         return backend
-    if dim == 2 and n >= BH_AUTO_THRESHOLD:
+    if n >= (BH_AUTO_THRESHOLD if dim == 2 else BH3_AUTO_THRESHOLD):
         return "bh"
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 

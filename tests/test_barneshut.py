@@ -81,12 +81,16 @@ def test_bh_backend_dispatch():
     assert int(out.frame) == 1
 
 
-def test_bh_3d_rejected():
-    cfg = SimConfig(n=16, dim=3, force_backend="bh")
-    pos = jnp.zeros((16, 3))
-    mass = jnp.ones((16,))
-    with pytest.raises(NotImplementedError):
-        bh_accelerations(pos, mass, cfg)
+def test_bh_3d_dispatches_to_octree():
+    """dim=3 flows to the octree FMM (barneshut3d.py) instead of raising
+    (round-1 behavior); accuracy is covered in test_barneshut3d.py."""
+    cfg = SimConfig(n=128, dim=3, force_backend="bh", bh_levels=3)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    pos = jax.random.uniform(k1, (128, 3), jnp.float32, -100.0, 100.0)
+    mass = jax.random.uniform(k2, (128,), jnp.float32, 0.1, 10.0)
+    acc = bh_accelerations(pos, mass, cfg)
+    assert acc.shape == (128, 3)
+    assert bool(jnp.all(jnp.isfinite(acc)))
 
 
 def test_bh_plummer_concentrated_accuracy():

@@ -81,14 +81,16 @@ def test_set_dt_rebuilds_step():
 
 
 def test_resolve_backend_crossover():
-    """'auto' switches exact -> tree at the measured ~90k crossover
-    (2D only; 3D has no tree backend)."""
-    from nbodysim_tpu.physics.forces import BH_AUTO_THRESHOLD, resolve_backend
+    """'auto' switches exact -> tree at the measured crossover (quadtree
+    in 2D, octree in 3D — each with its own threshold)."""
+    from nbodysim_tpu.physics.forces import (
+        BH3_AUTO_THRESHOLD, BH_AUTO_THRESHOLD, resolve_backend)
 
     cfg = nb.SimConfig()
     assert resolve_backend(cfg, 25_000, 2) in ("pallas", "xla")
     assert resolve_backend(cfg, BH_AUTO_THRESHOLD, 2) == "bh"
-    assert resolve_backend(cfg, 1_000_000, 3) != "bh"
+    assert resolve_backend(cfg, BH3_AUTO_THRESHOLD - 1, 3) != "bh"
+    assert resolve_backend(cfg, BH3_AUTO_THRESHOLD, 3) == "bh"
     assert resolve_backend(cfg.replace(force_backend="xla"),
                            1_000_000, 2) == "xla"
 
