@@ -44,6 +44,15 @@ class Simulation:
             from nbodysim_tpu.scenes import init_scene
 
             state = init_scene(scene, self.config, **scene_kwargs)
+        if self.config.force_backend == "auto":
+            # Pin 'auto' to a concrete backend from the actual particle
+            # distribution (clustered scenes can swamp the fixed-depth
+            # tree; see forces.resolve_backend_for_state).
+            from nbodysim_tpu.physics.forces import resolve_backend_for_state
+
+            self.config = self.config.replace(
+                force_backend=resolve_backend_for_state(
+                    state.pos, state.mass, self.config))
         if self.config.integrator == "leapfrog_kdk":
             state = prime_accelerations(state, self.config)
         self.state = state

@@ -52,6 +52,7 @@ from nbodysim_tpu.config import SimConfig
 from nbodysim_tpu.physics.barneshut import (
     NEAR_CAP,
     _OVERFLOW_CAP,
+    _OVERFLOW_SMALL,
     _extract_heavy_outliers,
     _near_masked_blocked,
     _resolve_radius,
@@ -366,21 +367,35 @@ def _near_field_buckets3(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     m_cap = min(n, _OVERFLOW_CAP)
     ci_s = ci[order]
 
-    def residual(acc_s):
-        over = ~in_cap
-        o_idx = jnp.argsort(in_cap)[:m_cap]
-        o_valid = over[o_idx]
-        o_pos = pos_s[o_idx]
-        o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
-        o_cell = ci_s[o_idx]
-        acc_s = acc_s + _near_masked_blocked(
-            pos_s, ci_s, o_pos, o_mass, o_cell, eps_sq, rr)
-        cap_mass = jnp.where(in_cap, mass_s, 0.0)
-        o_acc = _near_masked_blocked(
-            o_pos, o_cell, pos_s, cap_mass, ci_s, eps_sq, rr)
-        return acc_s.at[o_idx].add(jnp.where(o_valid[:, None], o_acc, 0.0))
+    def residual(cap_k: int):
+        def apply(acc_s):
+            over = ~in_cap
+            o_idx = jnp.argsort(in_cap)[:cap_k]
+            o_valid = over[o_idx]
+            o_pos = pos_s[o_idx]
+            o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
+            o_cell = ci_s[o_idx]
+            acc_s = acc_s + _near_masked_blocked(
+                pos_s, ci_s, o_pos, o_mass, o_cell, eps_sq, rr)
+            cap_mass = jnp.where(in_cap, mass_s, 0.0)
+            o_acc = _near_masked_blocked(
+                o_pos, o_cell, pos_s, cap_mass, ci_s, eps_sq, rr)
+            return acc_s.at[o_idx].add(
+                jnp.where(o_valid[:, None], o_acc, 0.0))
 
-    acc_s = lax.cond(overflow > 0, residual, lambda a: a, acc_s)
+        return apply
+
+    # Tiered like the 2D residual (barneshut.py): mild overflow takes the
+    # cheap pass, only genuinely clustered frames pay the full-cap one.
+    m_small = min(n, _OVERFLOW_SMALL)
+    if m_small < m_cap:
+        acc_s = lax.cond(
+            overflow > m_small, residual(m_cap),
+            lambda a: lax.cond(overflow > 0, residual(m_small),
+                               lambda b: b, a),
+            acc_s)
+    else:
+        acc_s = lax.cond(overflow > 0, residual(m_cap), lambda a: a, acc_s)
 
     inv_order = jnp.zeros_like(order).at[order].set(jnp.arange(n))
     return g_const * acc_s[inv_order], overflow

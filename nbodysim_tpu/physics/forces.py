@@ -222,6 +222,42 @@ def resolve_backend(config: SimConfig, n: int, dim: int) -> str:
     return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def resolve_backend_for_state(pos, mass, config: SimConfig) -> str:
+    """State-aware 'auto' resolution: like `resolve_backend`, but when the
+    tree code would be chosen, probe the near-field bucket occupancy of the
+    ACTUAL particle distribution (host-side, once) and fall back to the
+    exact kernels if the overflow exceeds the residual capacity — a
+    centrally-clustered scene (e.g. a Plummer sphere at N=1M in 3D) can
+    swamp the fixed-depth grid so badly that most particles would get no
+    near-field force at all. Exact-and-slow beats fast-and-wrong; an
+    explicit force_backend='bh' still honors the user's choice (with the
+    capacity warning from api.check_capacity)."""
+    import warnings
+
+    n, dim = pos.shape[0], pos.shape[1]
+    backend = resolve_backend(config, n, dim)
+    if backend != "bh" or config.force_backend != "auto":
+        return backend
+    if dim == 3:
+        from nbodysim_tpu.physics.barneshut3d import bh3_near_overflow
+        over = bh3_near_overflow(pos, mass, config)
+    else:
+        from nbodysim_tpu.physics.barneshut import bh_near_overflow
+        over = bh_near_overflow(pos, mass, config)
+    from nbodysim_tpu.physics.barneshut import _OVERFLOW_CAP
+
+    if over > _OVERFLOW_CAP:
+        exact = "pallas" if jax.default_backend() == "tpu" else "xla"
+        warnings.warn(
+            f"auto force backend: the scene is too clustered for the "
+            f"fixed-depth tree (near-field overflow {over} > residual "
+            f"capacity {_OVERFLOW_CAP}); using the exact "
+            f"'{exact}' kernel instead. Set force_backend='bh' to "
+            f"override.", RuntimeWarning)
+        return exact
+    return "bh"
+
+
 def compute_accelerations(
     pos: jax.Array,
     mass: jax.Array,

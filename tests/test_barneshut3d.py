@@ -107,6 +107,57 @@ def test_bh3_clustered_overflow_residual():
     assert np.median(err) < 0.005, np.median(err)
 
 
+def test_bh3_mild_overflow_small_tier():
+    """Overflow below _OVERFLOW_SMALL takes the cheap residual tier and
+    still repairs the near field exactly."""
+    from nbodysim_tpu.physics.barneshut import _OVERFLOW_SMALL
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    clump = jax.random.uniform(k1, (700, 3), jnp.float32, -1.0, 1.0)
+    field = jax.random.uniform(k2, (324, 3), jnp.float32, -1000.0, 1000.0)
+    pos = jnp.concatenate([clump, field])
+    mass = jnp.ones((1024,), jnp.float32)
+    cfg = SimConfig(n=1024, dim=3, force_backend="bh", bh_levels=3)
+    over = bh3_near_overflow(pos, mass, cfg)
+    assert 0 < over <= _OVERFLOW_SMALL, over
+    a_dir = np.asarray(direct_accelerations(pos, mass, eps_sq=1.0))
+    a_bh = np.asarray(bh3_accelerations(pos, mass, cfg))
+    err = np.linalg.norm(a_bh - a_dir, axis=1) / (
+        np.linalg.norm(a_dir, axis=1) + 1e-12)
+    assert np.median(err) < 0.005, np.median(err)
+
+
+def test_auto_backend_falls_back_on_clustered_scene(monkeypatch):
+    """resolve_backend_for_state: a scene whose near-field overflow exceeds
+    the residual capacity must not silently pick the tree."""
+    import warnings
+
+    from nbodysim_tpu.physics import barneshut as bh_mod
+    from nbodysim_tpu.physics import forces as forces_mod
+    from nbodysim_tpu.physics.forces import resolve_backend_for_state
+
+    monkeypatch.setattr(forces_mod, "BH3_AUTO_THRESHOLD", 256)
+    monkeypatch.setattr(bh_mod, "_OVERFLOW_CAP", 64)
+
+    # Dense clump in a wide field: the clump lands in one cell (the field
+    # keeps the adaptive bounding cube wide) -> massive overflow.
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    clump = jax.random.uniform(k1, (448, 3), jnp.float32, -1.0, 1.0)
+    field = jax.random.uniform(k2, (64, 3), jnp.float32, -1000.0, 1000.0)
+    pos = jnp.concatenate([clump, field])
+    mass = jnp.ones((512,), jnp.float32)
+    cfg = SimConfig(n=512, dim=3, force_backend="auto", bh_levels=3)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        backend = resolve_backend_for_state(pos, mass, cfg)
+    assert backend in ("xla", "pallas")
+
+    # A well-spread scene keeps the tree.
+    pos_u = jax.random.uniform(jax.random.PRNGKey(1), (512, 3),
+                               jnp.float32, -1000.0, 1000.0)
+    assert resolve_backend_for_state(pos_u, mass, cfg) == "bh"
+
+
 def test_bh3_momentum_balance():
     pos, mass = _system3(2048, seed=2)
     cfg = SimConfig(n=2048, dim=3, force_backend="bh", bh_levels=4)
