@@ -141,10 +141,10 @@ def sharded_accelerations(pos_l, mass_l, config: SimConfig,
     n_global = pos_l.shape[0] * lax.axis_size(axis_name)
     if resolve_backend(config, n_global, pos_l.shape[1]) == "bh":
         if pos_l.shape[1] == 3:
-            # The banded (grid-row-sharded) tree is 2D; the 3D octree runs
-            # replicated under the sharded step (correct at any mesh size;
-            # banding the octree over x-slabs is tracked in STATUS.md).
-            return replicated_tree_accelerations(
+            from nbodysim_tpu.parallel.tree3d import (
+                banded_tree3_accelerations)
+
+            return banded_tree3_accelerations(
                 pos_l, mass_l, config, axis_name)
         from nbodysim_tpu.parallel.tree import banded_tree_accelerations
 

@@ -1,0 +1,308 @@
+"""Banded multi-chip octree FMM: the 3D tree code sharded by x-slabs.
+
+The 3D analogue of `parallel/tree.py` (grid-row-banded 2D FMM): every
+pyramid level's x-slabs are statically banded across the 1-D mesh, each
+device runs the heavy stencils (M2L V-list, near-field K x K buckets) only
+on its own band, the boundary halo ((2R-1) slabs for M2L, (R-1) for the
+near field) moves between ring neighbors by `lax.ppermute` per level, and
+the tiny coarse levels are all-gathered and computed replicated. Per-device
+stencil FLOPs drop P x. (Reference analogue: the std::async fan-out over
+body chunks, Simulation.hpp:176-214, taken to its distributed-memory TPU
+conclusion; the reference itself has no distributed tree.)
+
+Load balance, exactness, and the psum-of-disjoint-pieces combination scheme
+are identical to the 2D module (see parallel/tree.py docstring); gated
+against the single-chip octree by tests/test_tree_banded.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.physics.barneshut import (
+    NEAR_CAP,
+    _OVERFLOW_CAP,
+    _extract_heavy_outliers,
+    _near_masked_blocked,
+    heavy_coupling,
+)
+from nbodysim_tpu.physics.barneshut3d import (
+    _bounding_cube,
+    _bucket_stencil3,
+    _l2l_upsample3,
+    _m2l_level3,
+    _m2l_stencil3,
+    _moment_payload3,
+    _resolve_levels3,
+    _resolve_radius3,
+    _taylor_eval3,
+)
+
+
+def banded_tree3_accelerations(
+    pos_l: jax.Array,      # [N/P, 3] local targets (inside shard_map)
+    mass_l: jax.Array,     # [N/P]
+    config: SimConfig,
+    axis_name: str = "shards",
+) -> jax.Array:
+    """Multi-chip octree accelerations for the local shard."""
+    p_dev = lax.axis_size(axis_name)
+    n_l = pos_l.shape[0]
+    n = n_l * p_dev
+    levels = _resolve_levels3(config, n)
+    radius = _resolve_radius3(config)
+    res = 1 << levels
+    p_halo = 2 * radius - 1
+    # Banding needs a power-of-two mesh whose finest band still holds the
+    # full halo; otherwise fall back to the replicated build.
+    if p_dev == 1 or (p_dev & (p_dev - 1)) or res // p_dev < p_halo:
+        from nbodysim_tpu.parallel.sharded import (
+            replicated_tree_accelerations)
+
+        return replicated_tree_accelerations(pos_l, mass_l, config,
+                                             axis_name)
+
+    pos = lax.all_gather(pos_l, axis_name, tiled=True)     # [N, 3]
+    mass = lax.all_gather(mass_l, axis_name, tiled=True)   # [N]
+    return _banded_eval3(
+        pos, mass, pos_l, levels=levels, radius=radius,
+        eps_sq=float(config.eps_sq), g_const=float(config.g_const),
+        near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name)
+
+
+def _halo_window3(band, p: int, p_dev: int, axis_name: str):
+    """Assemble an M2L x-slab window from a band grid tuple.
+
+    band: k arrays [rb, r, r]. Returns k arrays [rb + 2p, r + 2p, r + 2p]:
+    the band plus p halo slabs from the up/down ring neighbors (zeros at
+    the global boundary — non-participating ppermute edges deliver zeros,
+    exactly the zero padding the single-chip stencil uses) and p zero
+    y/z faces."""
+    down_perm = [(i, i + 1) for i in range(p_dev - 1)]  # recv from my-1
+    up_perm = [(i + 1, i) for i in range(p_dev - 1)]    # recv from my+1
+
+    stacked = jnp.stack(band)                            # [k, rb, r, r]
+    top = lax.ppermute(stacked[:, -p:], axis_name, down_perm)
+    bot = lax.ppermute(stacked[:, :p], axis_name, up_perm)
+    win = jnp.concatenate([top, stacked, bot], axis=1)   # [k, rb+2p, r, r]
+    win = jnp.pad(win, ((0, 0), (0, 0), (p, p), (p, p)))
+    return tuple(win[i] for i in range(stacked.shape[0]))
+
+
+def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
+                  near_cap, p_dev, n_l, axis_name):
+    from nbodysim_tpu.core.blocking import sorted_first_occurrence
+    from nbodysim_tpu.physics.forces import direct_accelerations
+
+    n = pos.shape[0]
+    my = lax.axis_index(axis_name)
+    res = 1 << levels
+    rb = res // p_dev              # finest band x-slabs
+    p = 2 * radius - 1             # M2L halo slabs
+    rr = radius - 1                # near-field halo slabs
+    row0 = my * rb
+
+    ext = _extract_heavy_outliers(pos, mass)
+    is_out, out_i, out_sel = ext["is_out"], ext["out_i"], ext["out_sel"]
+    tree_mass, bulk_pos = ext["tree_mass"], ext["bulk_pos"]
+
+    corner, size = _bounding_cube(bulk_pos)
+    u = (bulk_pos - corner) / size
+    ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)   # [N, 3]
+    flat = (ci[:, 0] * res + ci[:, 1]) * res + ci[:, 2]
+
+    # ---------------- pyramid: banded build + coarse replication --------
+    # One fused [N, 10]-payload scatter of ALL particles into my band's
+    # slabs (out-of-band indices drop); pool up while the band can still
+    # host a halo; all_gather the coarsest sharded level (tiny) and pool
+    # the replicated remainder.
+    wrow = ci[:, 0] - row0
+    in_rows = (wrow >= 0) & (wrow < rb)
+    bflat = jnp.where(in_rows, (wrow * res + ci[:, 1]) * res + ci[:, 2],
+                      rb * res * res)                        # OOB drops
+
+    shard_levels = [l for l in range(2, levels + 1)
+                    if (1 << l) % p_dev == 0 and (1 << l) // p_dev >= p]
+    ls = min(shard_levels)         # contiguous {ls..levels} by monotonicity
+
+    g10 = (jnp.zeros((rb * res * res, 10), pos.dtype)
+           .at[bflat].add(_moment_payload3(bulk_pos, tree_mass),
+                          mode="drop")
+           .reshape(rb, res, res, 10))
+    band_grids = {levels: tuple(g10[..., i] for i in range(10))}
+    for l in range(levels - 1, ls - 1, -1):
+        r_l = 1 << l
+        rb_l = r_l // p_dev
+        band_grids[l] = tuple(
+            g.reshape(rb_l, 2, r_l, 2, r_l, 2).sum((1, 3, 5))
+            for g in band_grids[l + 1])
+
+    full_grids = {}
+    if ls > 2:
+        full = tuple(lax.all_gather(g, axis_name, tiled=True)
+                     for g in band_grids[ls])          # [2^ls, 2^ls, 2^ls]
+        for l in range(ls - 1, 1, -1):
+            r_l = 1 << l
+            full = tuple(g.reshape(r_l, 2, r_l, 2, r_l, 2).sum((1, 3, 5))
+                         for g in full)
+            full_grids[l] = full
+
+    # ---------------- downward pass: M2L + L2L --------------------------
+    local = None
+    for l in range(2, ls):                       # replicated coarse levels
+        terms = _m2l_level3(jnp.stack(full_grids[l], axis=-1),
+                            corner, size, eps_sq, radius)
+        if local is None:
+            local = terms
+        else:
+            up = _l2l_upsample3(local, size / (1 << l))
+            local = tuple(u + t for u, t in zip(up, terms))
+
+    for l in range(ls, levels + 1):              # banded levels
+        r_l = 1 << l
+        rb_l = r_l // p_dev
+        row0_l = my * rb_l
+        window = _halo_window3(band_grids[l], p, p_dev, axis_name)
+        terms = _m2l_stencil3(window, corner, size, r_l, eps_sq, radius,
+                              row0=row0_l, rows=rb_l)
+        if local is None:                        # ls == 2: no coarse prefix
+            local = terms
+        elif l == ls:
+            # Transition: slice my band's parent slabs out of the
+            # replicated level-(ls-1) expansion, then re-center.
+            rb_par = rb_l // 2
+            par = tuple(
+                lax.dynamic_slice_in_dim(x, my * rb_par, rb_par, axis=0)
+                for x in local)
+            up = _l2l_upsample3(par, size / r_l)
+            local = tuple(u + t for u, t in zip(up, terms))
+        else:
+            up = _l2l_upsample3(local, size / r_l)
+            local = tuple(u + t for u, t in zip(up, terms))
+
+    # ---------------- L2P on band particles (one fused 19-term gather) --
+    s_l = size / res
+    cellx, celly, cellz = ci[:, 0], ci[:, 1], ci[:, 2]
+    lrow = cellx - row0
+    in_band = (lrow >= 0) & (lrow < rb) & ~is_out
+    lr = jnp.clip(lrow, 0, rb - 1)
+    centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
+    centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
+    centz = corner[2] + (cellz.astype(pos.dtype) + 0.5) * s_l
+    dxp = pos[:, 0] - centx
+    dyp = pos[:, 1] - centy
+    dzp = pos[:, 2] - centz
+    loc19 = jnp.stack(local, axis=0).reshape(19, rb * res * res)
+    g = loc19[:, (lr * res + celly) * res + cellz]          # [19, N]
+    ev = _taylor_eval3(tuple(g[i] for i in range(19)), dxp, dyp, dzp)
+    far = g_const * jnp.stack(ev[:3], axis=-1)
+    contrib = jnp.where(in_band[:, None], far, 0.0)         # [N, 3]
+
+    # ---------------- near field: banded bucket window ------------------
+    # Global cell sort (replicated; identical slot assignment to the
+    # single-chip path), scatter into my band+halo slab window, K x K
+    # stencil on band slabs only, gather band particles.
+    flat_nf = jnp.where(is_out, res**3 + jnp.arange(n), flat)
+    order = jnp.argsort(flat_nf)
+    flat_s = flat_nf[order]
+    first = sorted_first_occurrence(flat_s)
+    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    in_cap = slot < near_cap
+    slot_w = jnp.where(in_cap, slot, near_cap)
+
+    pos_s = pos[order]
+    mass_s = tree_mass[order]
+    ci_s = ci[order]
+    is_bulk_s = flat_s < res**3
+
+    rows_w = rb + 2 * rr
+    wrow_nf = ci_s[:, 0] - row0 + rr
+    in_win = is_bulk_s & (wrow_nf >= 0) & (wrow_nf < rows_w)
+    wflat = jnp.where(in_win,
+                      (wrow_nf * res + ci_s[:, 1]) * res + ci_s[:, 2],
+                      rows_w * res * res)
+
+    zero_m = jnp.where(in_cap, mass_s, 0.0)
+    brow = ci_s[:, 0] - row0
+    g_mask = is_bulk_s & (brow >= 0) & (brow < rb) & in_cap
+    slot_c = jnp.minimum(slot, near_cap - 1)
+
+    def nf_scat(vals):
+        return (jnp.zeros((rows_w * res * res, near_cap), pos.dtype)
+                .at[wflat, slot_w].set(vals, mode="drop")
+                .reshape(rows_w, res, res, near_cap))
+
+    accx, accy, accz = _bucket_stencil3(
+        nf_scat(pos_s[:, 0]), nf_scat(pos_s[:, 1]), nf_scat(pos_s[:, 2]),
+        nf_scat(zero_m), rr, eps_sq, center_rows=rb)  # [rb, res, res, K]
+    gidx = (jnp.clip(brow, 0, rb - 1) * res + ci_s[:, 1]) * res + ci_s[:, 2]
+    flatten = (rb * res * res, near_cap)
+    ax_s = jnp.where(g_mask, accx.reshape(flatten)[gidx, slot_c], 0.0)
+    ay_s = jnp.where(g_mask, accy.reshape(flatten)[gidx, slot_c], 0.0)
+    az_s = jnp.where(g_mask, accz.reshape(flatten)[gidx, slot_c], 0.0)
+    acc_s = jnp.stack([ax_s, ay_s, az_s], axis=-1)          # sorted order
+
+    # ---------------- per-band overflow residual ------------------------
+    # Band-decomposed exactly like the 2D version (parallel/tree.py):
+    # every (target, overflow-source) direction is computed on exactly one
+    # device; capacity is per band, so the banded tree tolerates P x more
+    # clustering than the single chip before degrading.
+    m_cap = min(n, _OVERFLOW_CAP)
+    over_w = (~in_cap) & in_win
+    n_over = jnp.sum(over_w)
+    tgt_band = is_bulk_s & (brow >= 0) & (brow < rb)
+
+    def residual(acc_s):
+        o_idx = jnp.argsort(~over_w)[:m_cap]    # window overflow first
+        o_valid = over_w[o_idx]
+        o_pos = pos_s[o_idx]
+        o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
+        o_cell = ci_s[o_idx]
+        # (b): my band's targets gain the window-overflow contribution.
+        dp = _near_masked_blocked(pos_s, ci_s, o_pos, o_mass, o_cell,
+                                  eps_sq, rr)
+        acc_s = acc_s + jnp.where(tgt_band[:, None], dp, 0.0)
+        # (c): my band's overflow targets gain the in-cap contribution.
+        o_band = o_valid & (o_cell[:, 0] >= row0) & (o_cell[:, 0] < row0 + rb)
+        cap_mass = jnp.where(in_cap & is_bulk_s, mass_s, 0.0)
+        o_acc = _near_masked_blocked(o_pos, o_cell, pos_s, cap_mass, ci_s,
+                                     eps_sq, rr)
+        return acc_s.at[o_idx].add(jnp.where(o_band[:, None], o_acc, 0.0))
+
+    acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
+
+    inv_order = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+    contrib = contrib + g_const * acc_s[inv_order]
+
+    # ---------------- exact forces ON outliers (index-range sharded) ----
+    k_out = out_i.shape[0]
+    ko_p = -(-k_out // p_dev)
+    idx = my * ko_p + jnp.arange(ko_p)
+    valid = idx < k_out
+    idx_c = jnp.minimum(idx, k_out - 1)
+    oi = out_i[idx_c]
+    non_heavy_mass = jnp.where(ext["is_heavy"], 0.0, mass)
+    acc_out = direct_accelerations(
+        pos[oi], None, eps_sq, g_const, src_pos=pos,
+        src_mass=non_heavy_mass)
+    sel = valid & out_sel[idx_c]
+    contrib = contrib.at[oi].add(jnp.where(sel[:, None], acc_out, 0.0))
+
+    # ---------------- combine: psum disjoint pieces + local terms -------
+    acc_g = lax.psum(contrib, axis_name)
+    acc_l = lax.dynamic_slice_in_dim(acc_g, my * n_l, n_l, axis=0)
+
+    is_out_l = lax.dynamic_slice_in_dim(is_out, my * n_l, n_l, axis=0)
+    out_src_mass = jnp.where(out_sel & ~ext["is_heavy"][out_i],
+                             mass[out_i], 0.0)
+    acc_from_out_l = direct_accelerations(
+        pos_l, None, eps_sq, g_const, src_pos=pos[out_i],
+        src_mass=out_src_mass)
+    acc_heavy_l = heavy_coupling(pos_l, ext["h_pos"], ext["h_mass"],
+                                 eps_sq, g_const)
+    return (acc_l
+            + jnp.where(is_out_l[:, None], 0.0, acc_from_out_l)
+            + acc_heavy_l)

@@ -102,25 +102,43 @@ def _build_pyramid3(pos, mass, levels: int):
 
 
 def _m2l_level3(g10, corner, size, eps_sq, radius: int):
-    """V-list stencil at one full level -> p=2 local terms (19 x [r,r,r])."""
+    """V-list stencil at one full level -> p=2 local terms (19 x [r,r,r]).
+    The rows=r, row0=0 instance of `_m2l_stencil3`."""
     r_full = g10.shape[0]
+    p = 2 * radius - 1
+    window = tuple(jnp.pad(g10[..., i], p) for i in range(10))
+    return _m2l_stencil3(window, corner, size, r_full, eps_sq, radius,
+                         row0=jnp.int32(0), rows=r_full)
+
+
+def _m2l_stencil3(window, corner, size, r_full: int, eps_sq, radius: int,
+                  row0, rows: int):
+    """V-list stencil over an x-banded window of raw moment grids.
+
+    `window`: the 10 raw moment grids, [rows + 2p, r_full + 2p, r_full + 2p]
+    each (p = 2*radius - 1): the `rows` target x-slabs plus p halo slabs on
+    each side (zeros beyond the global grid) and p zero-padded y/z faces.
+    `row0` is the global x index of the first target slab (traced; the
+    banded multi-chip path passes my_band * rows). Output terms are
+    [rows, r_full, r_full]. Mirrors the 2D `_m2l_stencil`
+    (barneshut.py:123)."""
     R = radius
     p = 2 * R - 1
-    dtype = g10.dtype
+    dtype = window[0].dtype
 
-    m_w = jnp.pad(g10[..., 0], p)
+    m_w = window[0]
     safe_m = jnp.where(m_w > 0, m_w, 1.0)
-    com = [jnp.pad(g10[..., 1 + a], p) / safe_m for a in range(3)]
+    com = [window[1 + a] / safe_m for a in range(3)]
     # Quadrupole about the COM (dipole vanishes by construction).
-    raw = [jnp.pad(g10[..., 4 + i], p) for i in range(6)]
+    raw = window[4:10]
     cx_, cy_, cz_ = com
     q_w = (raw[0] - m_w * cx_ * cx_, raw[1] - m_w * cx_ * cy_,
            raw[2] - m_w * cx_ * cz_, raw[3] - m_w * cy_ * cy_,
            raw[4] - m_w * cy_ * cz_, raw[5] - m_w * cz_ * cz_)
 
     s_l = size / r_full
-    shape = (r_full, r_full, r_full)
-    ii = lax.broadcasted_iota(jnp.int32, shape, 0)
+    shape = (rows, r_full, r_full)
+    ii = lax.broadcasted_iota(jnp.int32, shape, 0) + row0
     jj = lax.broadcasted_iota(jnp.int32, shape, 1)
     kk = lax.broadcasted_iota(jnp.int32, shape, 2)
     cx = corner[0] + (ii.astype(dtype) + 0.5) * s_l
@@ -234,15 +252,17 @@ def _taylor_eval3(local19, ex, ey, ez):
 
 
 def _l2l_upsample3(local19, s_child):
-    """Shift parent local expansions to the 8 child centers and upsample."""
-    r = local19[0].shape[0]
+    """Shift parent local expansions to the 8 child centers and upsample.
+    Works on full cubic grids and on x-banded slabs [rb, r, r] alike (the
+    banded multi-chip path; band starts are even in child coordinates, so
+    local-axis parity equals global parity)."""
 
     def up(a):
         return jnp.repeat(
             jnp.repeat(jnp.repeat(a, 2, axis=0), 2, axis=1), 2, axis=2)
 
     dtype = local19[0].dtype
-    shape2 = (2 * r, 2 * r, 2 * r)
+    shape2 = tuple(2 * s for s in local19[0].shape)
     ex = ((lax.broadcasted_iota(jnp.int32, shape2, 0) & 1)
           .astype(dtype) - 0.5) * s_child
     ey = ((lax.broadcasted_iota(jnp.int32, shape2, 1) & 1)
@@ -252,16 +272,32 @@ def _l2l_upsample3(local19, s_child):
     return _taylor_eval3(tuple(up(a) for a in local19), ex, ey, ez)
 
 
-def _bucket_stencil3(bx, by, bz, bm, rr: int, eps_sq):
+def _bucket_stencil3(bx, by, bz, bm, rr: int, eps_sq,
+                     center_rows: int | None = None):
     """K x K pair stencil over a dense 3D bucket grid.
 
-    bx/by/bz/bm: [res, res, res, cap]. For each of the (2rr+1)^3 static
-    neighbor offsets, a broadcast K x K pairwise block; empty slots carry
-    zero mass so they vanish without masks. Chunked over the leading axis
-    so temps stay bounded. Returns (ax, ay, az), [res, res, res, cap]."""
-    res = bx.shape[0]
+    Two input layouts:
+      center_rows=None: bx/by/bz/bm are [res, res, res, cap] full grids
+        (the single-chip path); the x halo is padded internally.
+      center_rows=c: bx/by/bz/bm are [c + 2rr, res, res, cap] x-banded
+        windows whose first/last rr slabs are halo sources only (the
+        banded multi-chip path).
+
+    For each of the (2rr+1)^3 static neighbor offsets, a broadcast K x K
+    pairwise block; empty slots carry zero mass so they vanish without
+    masks. Chunked over the leading axis so temps stay bounded. Returns
+    (ax, ay, az), [center_rows, res, res, cap]."""
+    if center_rows is None:
+        center_rows = bx.shape[0]
+
+        def padx(a):
+            return jnp.pad(a, ((rr, rr), (0, 0), (0, 0), (0, 0)))
+
+        bx, by, bz, bm = padx(bx), padx(by), padx(bz), padx(bm)
+    res = bx.shape[1]
     cap = bx.shape[3]
     dtype = bx.dtype
+    rows = center_rows
 
     offsets = jnp.array(
         [(ox, oy, oz)
@@ -269,20 +305,21 @@ def _bucket_stencil3(bx, by, bz, bm, rr: int, eps_sq):
          for oy in range(-rr, rr + 1)
          for oz in range(-rr, rr + 1)], jnp.int32)
 
-    def pad3(a):
-        return jnp.pad(a, ((rr, rr), (rr, rr), (rr, rr), (0, 0)))
+    def pad_yz(a):
+        return jnp.pad(a, ((0, 0), (rr, rr), (rr, rr), (0, 0)))
 
-    bx_p, by_p, bz_p, bm_p = pad3(bx), pad3(by), pad3(bz), pad3(bm)
+    bx_p, by_p, bz_p, bm_p = (pad_yz(a) for a in (bx, by, bz, bm))
+    tx, ty, tz = (a[rr:rr + rows] for a in (bx, by, bz))
 
-    chunk = max(1, min(res, (1 << 24) // max(1, res * res * cap * cap)))
-    while res % chunk:
+    chunk = max(1, min(rows, (1 << 24) // max(1, res * res * cap * cap)))
+    while rows % chunk:
         chunk -= 1
-    n_chunks = res // chunk
+    n_chunks = rows // chunk
 
     def body(carry, o):
         ax, ay, az = carry
         start = (rr + o[0], rr + o[1], rr + o[2], 0)
-        shp = (res, res, res, cap)
+        shp = (rows, res, res, cap)
         spx = lax.dynamic_slice(bx_p, start, shp)
         spy = lax.dynamic_slice(by_p, start, shp)
         spz = lax.dynamic_slice(bz_p, start, shp)
@@ -306,12 +343,12 @@ def _bucket_stencil3(bx, by, bz, bm, rr: int, eps_sq):
 
         gx, gy, gz = lax.map(
             chunk_fn, tuple(chop(a) for a in
-                            (bx, by, bz, spx, spy, spz, sm)))
-        full = (res, res, res, cap)
+                            (tx, ty, tz, spx, spy, spz, sm)))
+        full = (rows, res, res, cap)
         return (ax + gx.reshape(full), ay + gy.reshape(full),
                 az + gz.reshape(full)), None
 
-    zeros = jnp.zeros((res, res, res, cap), dtype)
+    zeros = jnp.zeros((rows, res, res, cap), dtype)
     (ax, ay, az), _ = lax.scan(body, (zeros, zeros, zeros), offsets)
     return ax, ay, az
 

@@ -96,3 +96,75 @@ def test_banded_two_device_mesh(eight_devices):
     pos, mass = _uniform(2048, seed=5)
     cfg = SimConfig(n=2048, bh_levels=5, force_backend="bh")
     _check(pos, mass, cfg, n_dev=2)
+
+
+# ---------------------------------------------------------------------
+# 3D: the x-slab-banded octree (parallel/tree3d.py)
+# ---------------------------------------------------------------------
+
+def _banded3(pos, mass, cfg, n_dev=8):
+    from nbodysim_tpu.parallel.tree3d import banded_tree3_accelerations
+
+    mesh = make_mesh(n_dev)
+
+    def f(pos_l, mass_l):
+        return banded_tree3_accelerations(pos_l, mass_l, cfg, "shards")
+
+    fn = jax.jit(jax.shard_map(
+        f, mesh=mesh, in_specs=(P("shards"), P("shards")),
+        out_specs=P("shards"), check_vma=False))
+    return np.asarray(fn(pos, mass))
+
+
+def _check3(pos, mass, cfg, n_dev=8, rtol=2e-5):
+    a_banded = _banded3(pos, mass, cfg, n_dev)
+    a_single = np.asarray(bh_accelerations(pos, mass, cfg))
+    scale = np.abs(a_single).max()
+    np.testing.assert_allclose(a_banded, a_single, atol=scale * rtol)
+
+
+def _uniform3(n, span=1000.0, seed=0):
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    pos = jax.random.uniform(k1, (n, 3), jnp.float32, -span, span)
+    mass = jax.random.uniform(k2, (n,), jnp.float32, 0.1, 10.0)
+    return pos, mass
+
+
+def test_banded3_uniform_matches_single_chip(eight_devices):
+    pos, mass = _uniform3(4096)
+    cfg = SimConfig(n=4096, dim=3, bh_levels=5, force_backend="bh")
+    _check3(pos, mass, cfg)
+
+
+def test_banded3_plummer_outliers_match(eight_devices):
+    """3D outlier extraction + heavy coupling under x-slab banding."""
+    cfg_s = SimConfig(n=4096, dim=3, force_backend="xla", softening=10.0)
+    state = nb.init_scene("plummer", cfg_s, total_mass=1e4,
+                          scale_radius=1000.0)
+    cfg = SimConfig(n=4096, dim=3, bh_levels=5, force_backend="bh",
+                    softening=10.0)
+    _check3(state.pos, state.mass, cfg)
+
+
+def test_banded3_overflow_residual_matches(eight_devices):
+    """A flattened slab scene overflows cells; the banded per-window 3D
+    residual must reproduce the single-chip octree."""
+    pos, mass = _uniform3(4096, seed=3)
+    pos = pos * jnp.array([1.0, 1.0, 0.02])
+    cfg = SimConfig(n=4096, dim=3, bh_levels=5, bh_accept_radius=2,
+                    force_backend="bh")
+    _check3(pos, mass, cfg, rtol=5e-5)
+
+
+def test_banded3_fallback_small_grid(eight_devices):
+    """Octree grids too small to band (res/P < halo) fall back to the
+    replicated tree and still match."""
+    pos, mass = _uniform3(512)
+    cfg = SimConfig(n=512, dim=3, bh_levels=3, force_backend="bh")
+    _check3(pos, mass, cfg)
+
+
+def test_banded3_two_device_mesh(eight_devices):
+    pos, mass = _uniform3(2048, seed=5)
+    cfg = SimConfig(n=2048, dim=3, bh_levels=4, force_backend="bh")
+    _check3(pos, mass, cfg, n_dev=2)
