@@ -247,6 +247,211 @@ def bucket_stencil_pallas_flat(
     return outx, outy
 
 
+# ---------------------------------------------------------------------
+# 3D: the octree near field (barneshut3d._near_field_buckets3)
+# ---------------------------------------------------------------------
+#
+# Same sorted-slab idea, one dimension up. The flat layout makes x the
+# ROW axis (row pitch `stride`, shifted via the grid dimension exactly
+# like 2D rows) and flattens (y, z) into the COLUMN axis with z pitch
+# sz = res + 2rr and y padded by rr rows of sz — so all (2rr+1)^2
+# (oy, oz) neighbor shifts become STATIC column shifts dc = oy*sz + oz
+# riding inside the lead margin, and the kernel body is the 2D kernel
+# with one more coordinate field and a longer static shift list.
+
+def _nearfield3_kernel(
+    bx_hbm, by_hbm, bz_hbm, bm_hbm,   # [K, F/128, 128] in ANY (HBM)
+    outx_ref, outy_ref, outz_ref,     # [K, C] blocked output (revisited)
+    sx, sy, sz_s, sm,                 # window scratch [1, K, WB, 128]
+    st,                               # target slab scratch [3, K, WB, 128]
+    sems,                             # DMA semaphores [7]
+    *,
+    cap: int,
+    rr: int,
+    stride: int,
+    col_shifts: tuple,
+    tile: int,
+    t0: int,
+    lead: int,
+    eps_sq: float,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)                 # x shift ox = j - rr
+    base = t0 + i * tile - lead
+    w_blocks = (tile + 2 * lead) // 128
+
+    dmas = []
+    start = (base + (j - rr) * stride) // 128
+    for f, (hbm, scr) in enumerate(
+            ((bx_hbm, sx), (by_hbm, sy), (bz_hbm, sz_s), (bm_hbm, sm))):
+        dma = pltpu.make_async_copy(
+            hbm.at[:, pl.ds(start, w_blocks), :], scr.at[0], sems.at[f])
+        dma.start()
+        dmas.append(dma)
+
+    @pl.when(j == 0)
+    def _fetch_targets():
+        for f, hbm in enumerate((bx_hbm, by_hbm, bz_hbm)):
+            dma = pltpu.make_async_copy(
+                hbm.at[:, pl.ds(base // 128, w_blocks), :],
+                st.at[f],
+                sems.at[4 + f])
+            dma.start()
+            dma.wait()
+
+    for dma in dmas:
+        dma.wait()
+
+    def win(scr):
+        return scr[0].reshape(cap, w_blocks * 128)
+
+    tx = st[0].reshape(cap, w_blocks * 128)[:, lead:lead + tile]   # [K, C]
+    ty = st[1].reshape(cap, w_blocks * 128)[:, lead:lead + tile]
+    tz = st[2].reshape(cap, w_blocks * 128)[:, lead:lead + tile]
+    txb = tx[:, None, :]
+    tyb = ty[:, None, :]
+    tzb = tz[:, None, :]
+    accx = jnp.zeros((cap, tile), jnp.float32)
+    accy = jnp.zeros((cap, tile), jnp.float32)
+    accz = jnp.zeros((cap, tile), jnp.float32)
+    sxw = win(sx)
+    syw = win(sy)
+    szw = win(sz_s)
+    smw = win(sm)
+    for dc in col_shifts:
+        sxs = sxw[:, lead + dc:lead + dc + tile][None, :, :]
+        sys_ = syw[:, lead + dc:lead + dc + tile][None, :, :]
+        szs = szw[:, lead + dc:lead + dc + tile][None, :, :]
+        sms = smw[:, lead + dc:lead + dc + tile][None, :, :]
+        dx = sxs - txb                                 # [K, K, C]
+        dy = sys_ - tyb
+        dz = szs - tzb
+        d_sq = dx * dx + dy * dy + dz * dz
+        inv = lax.rsqrt(d_sq + eps_sq)
+        wgt = sms * (inv * inv * inv)
+        if eps_sq == 0.0:
+            wgt = jnp.where(d_sq > 0.0, wgt, 0.0)
+        accx = accx + jnp.sum(wgt * dx, axis=1)
+        accy = accy + jnp.sum(wgt * dy, axis=1)
+        accz = accz + jnp.sum(wgt * dz, axis=1)
+
+    @pl.when(j == 0)
+    def _init():
+        outx_ref[:] = jnp.zeros_like(outx_ref)
+        outy_ref[:] = jnp.zeros_like(outy_ref)
+        outz_ref[:] = jnp.zeros_like(outz_ref)
+
+    outx_ref[:] += accx
+    outy_ref[:] += accy
+    outz_ref[:] += accz
+
+
+class _FlatLayout3:
+    """Constants of the 3D slot-major flat bucket layout.
+
+    Element (x_w, y, z) of the [rows_w, res, res, K] bucket window lives
+    at flat position lead + x_w*stride + (y + rr)*sz + z + rr, where
+    sz = res + 2rr is the z pitch (y/z halos are zero cells inside the
+    slab) and stride is the 128-aligned x pitch. `lead` is sized to host
+    the largest column shift rr*sz + rr and keep DMA starts aligned.
+    """
+
+    def __init__(self, center_rows: int, res: int, cap: int, rr: int,
+                 tile: int):
+        self.center_rows = center_rows
+        self.res = res
+        self.cap = cap
+        self.rr = rr
+        self.sz = res + 2 * rr
+        slab = (res + 2 * rr) * self.sz
+        self.stride = _cdiv(slab, 128) * 128
+        self.lead = _cdiv(max(_LEAD, rr * self.sz + rr), 128) * 128
+        region = center_rows * self.stride
+        self.c = max(128, min(tile, 1 << (max(region, 2) - 1).bit_length()))
+        self.ntiles = _cdiv(region, self.c)
+        self.region = region
+        self.t0 = self.lead + rr * self.stride
+        rows_w = center_rows + 2 * rr
+        f_len = max(self.lead + rows_w * self.stride,
+                    self.t0 + self.ntiles * self.c
+                    + rr * self.stride + self.lead) + self.lead
+        self.f_len = _cdiv(f_len, 128) * 128
+        self.col_shifts = tuple(
+            oy * self.sz + oz
+            for oy in range(-rr, rr + 1) for oz in range(-rr, rr + 1))
+
+    def flat_index(self, x_w, y, z):
+        """Flat position of (window x-slab, y, z) — traced-friendly."""
+        return (self.lead + x_w * self.stride + (y + self.rr) * self.sz
+                + z + self.rr)
+
+    def out_index(self, x_c, y, z):
+        """Index into the kernel's [K, ntiles*c] output arrays."""
+        return x_c * self.stride + (y + self.rr) * self.sz + z + self.rr
+
+
+def bucket_stencil3_pallas_flat(
+    bx_f: jax.Array,   # [K, F] slot-major flat positions x
+    by_f: jax.Array,
+    bz_f: jax.Array,
+    bm_f: jax.Array,   # zero mass = empty slot
+    layout: _FlatLayout3,
+    *,
+    eps_sq: float,
+    interpret: bool = False,
+):
+    """Run the 3D near-field kernel on pre-flattened [K, F] bucket arrays;
+    returns (accx, accy, accz) as [K, ntiles*c] flat outputs (see
+    _FlatLayout3.out_index)."""
+    cap, rr, stride = layout.cap, layout.rr, layout.stride
+    c, ntiles, t0, f_len = layout.c, layout.ntiles, layout.t0, layout.f_len
+    lead = layout.lead
+    nw = 2 * rr + 1
+    f32 = jnp.float32
+
+    def blocked(a):
+        return a.reshape(cap, f_len // 128, 128)
+
+    bx_f, by_f, bz_f, bm_f = (blocked(a) for a in (bx_f, by_f, bz_f, bm_f))
+
+    kernel = functools.partial(
+        _nearfield3_kernel, cap=cap, rr=rr, stride=stride,
+        col_shifts=layout.col_shifts, tile=c, t0=t0, lead=lead,
+        eps_sq=float(eps_sq))
+
+    pairs = layout.region * cap * cap * nw * nw * nw
+    wb = (c + 2 * lead) // 128
+    outx, outy, outz = pl.pallas_call(
+        kernel,
+        grid=(ntiles, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+        out_specs=[
+            pl.BlockSpec((cap, c), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((cap, ntiles * c), f32)] * 3,
+        scratch_shapes=[
+            pltpu.VMEM((1, cap, wb, 128), f32),
+            pltpu.VMEM((1, cap, wb, 128), f32),
+            pltpu.VMEM((1, cap, wb, 128), f32),
+            pltpu.VMEM((1, cap, wb, 128), f32),
+            pltpu.VMEM((3, cap, wb, 128), f32),
+            pltpu.SemaphoreType.DMA((7,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=20 * pairs,
+            bytes_accessed=4 * cap * f_len * 4 * nw
+            + 3 * cap * layout.region * 4,
+            transcendentals=pairs,
+        ),
+        interpret=interpret,
+    )(bx_f, by_f, bz_f, bm_f)
+    return outx, outy, outz
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("rr", "eps_sq", "center_rows", "tile", "interpret"),

@@ -65,12 +65,16 @@ def banded_tree3_accelerations(
         return replicated_tree_accelerations(pos_l, mass_l, config,
                                              axis_name)
 
+    from nbodysim_tpu.physics.barneshut import _nf_use_pallas
+
     pos = lax.all_gather(pos_l, axis_name, tiled=True)     # [N, 3]
     mass = lax.all_gather(mass_l, axis_name, tiled=True)   # [N]
     return _banded_eval3(
         pos, mass, pos_l, levels=levels, radius=radius,
         eps_sq=float(config.eps_sq), g_const=float(config.g_const),
-        near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name)
+        near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name,
+        nf_pallas=_nf_use_pallas(config),
+        interpret=config.pallas_interpret)
 
 
 def _halo_window3(band, p: int, p_dev: int, axis_name: str):
@@ -93,7 +97,8 @@ def _halo_window3(band, p: int, p_dev: int, axis_name: str):
 
 
 def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
-                  near_cap, p_dev, n_l, axis_name):
+                  near_cap, p_dev, n_l, axis_name,
+                  nf_pallas=False, interpret=False):
     from nbodysim_tpu.core.blocking import sorted_first_occurrence
     from nbodysim_tpu.physics.forces import direct_accelerations
 
@@ -230,19 +235,48 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
     g_mask = is_bulk_s & (brow >= 0) & (brow < rb) & in_cap
     slot_c = jnp.minimum(slot, near_cap - 1)
 
-    def nf_scat(vals):
-        return (jnp.zeros((rows_w * res * res, near_cap), pos.dtype)
-                .at[wflat, slot_w].set(vals, mode="drop")
-                .reshape(rows_w, res, res, near_cap))
+    if nf_pallas and rr >= 1:
+        # Scatter straight into the kernel's slot-major flat layout (see
+        # barneshut3d._near_field_buckets3 — same fast path, band-sized).
+        from nbodysim_tpu.kernels.nearfield import (
+            _FlatLayout3, bucket_stencil3_pallas_flat)
 
-    accx, accy, accz = _bucket_stencil3(
-        nf_scat(pos_s[:, 0]), nf_scat(pos_s[:, 1]), nf_scat(pos_s[:, 2]),
-        nf_scat(zero_m), rr, eps_sq, center_rows=rb)  # [rb, res, res, K]
-    gidx = (jnp.clip(brow, 0, rb - 1) * res + ci_s[:, 1]) * res + ci_s[:, 2]
-    flatten = (rb * res * res, near_cap)
-    ax_s = jnp.where(g_mask, accx.reshape(flatten)[gidx, slot_c], 0.0)
-    ay_s = jnp.where(g_mask, accy.reshape(flatten)[gidx, slot_c], 0.0)
-    az_s = jnp.where(g_mask, accz.reshape(flatten)[gidx, slot_c], 0.0)
+        layout = _FlatLayout3(rb, res, near_cap, rr, 512)
+        cy, cz = ci_s[:, 1], ci_s[:, 2]
+        pf = jnp.where(in_win, layout.flat_index(wrow_nf, cy, cz),
+                       layout.f_len)
+
+        def scat_f(v):
+            return (jnp.zeros((near_cap, layout.f_len), pos.dtype)
+                    .at[slot_w, pf].set(v, mode="drop"))
+
+        outx, outy, outz = bucket_stencil3_pallas_flat(
+            scat_f(pos_s[:, 0]), scat_f(pos_s[:, 1]), scat_f(pos_s[:, 2]),
+            scat_f(zero_m), layout, eps_sq=eps_sq, interpret=interpret)
+        opos = jnp.minimum(
+            jnp.where(g_mask,
+                      layout.out_index(jnp.clip(brow, 0, rb - 1), cy, cz),
+                      0),
+            outx.shape[1] - 1)
+        ax_s = jnp.where(g_mask, outx[slot_c, opos], 0.0)
+        ay_s = jnp.where(g_mask, outy[slot_c, opos], 0.0)
+        az_s = jnp.where(g_mask, outz[slot_c, opos], 0.0)
+    else:
+        def nf_scat(vals):
+            return (jnp.zeros((rows_w * res * res, near_cap), pos.dtype)
+                    .at[wflat, slot_w].set(vals, mode="drop")
+                    .reshape(rows_w, res, res, near_cap))
+
+        accx, accy, accz = _bucket_stencil3(
+            nf_scat(pos_s[:, 0]), nf_scat(pos_s[:, 1]),
+            nf_scat(pos_s[:, 2]), nf_scat(zero_m), rr, eps_sq,
+            center_rows=rb)                           # [rb, res, res, K]
+        gidx = ((jnp.clip(brow, 0, rb - 1) * res + ci_s[:, 1]) * res
+                + ci_s[:, 2])
+        flatten = (rb * res * res, near_cap)
+        ax_s = jnp.where(g_mask, accx.reshape(flatten)[gidx, slot_c], 0.0)
+        ay_s = jnp.where(g_mask, accy.reshape(flatten)[gidx, slot_c], 0.0)
+        az_s = jnp.where(g_mask, accz.reshape(flatten)[gidx, slot_c], 0.0)
     acc_s = jnp.stack([ax_s, ay_s, az_s], axis=-1)          # sorted order
 
     # ---------------- per-band overflow residual ------------------------

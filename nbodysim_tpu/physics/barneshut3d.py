@@ -354,11 +354,13 @@ def _bucket_stencil3(bx, by, bz, bm, rr: int, eps_sq,
 
 
 def _near_field_buckets3(pos, mass, ci, flat, levels: int, eps_sq, g_const,
-                         cap: int, radius: int):
+                         cap: int, radius: int,
+                         use_pallas: bool = False, interpret: bool = False):
     """Particle-particle near field on a dense [r, r, r, cap] bucket grid.
 
     Returns (acc [N, 3], overflow_count). Same slot/overflow machinery as
-    the 2D version (barneshut.py:_near_field_buckets)."""
+    the 2D version (barneshut.py:_near_field_buckets); on the Pallas path
+    particles scatter straight into the kernel's slot-major flat layout."""
     n = pos.shape[0]
     res = 1 << levels
 
@@ -378,26 +380,52 @@ def _near_field_buckets3(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     zero_m = jnp.where(in_cap, mass_s, 0.0)
 
     n_cells = res * res * res
-
-    def scat(v):
-        return (jnp.zeros((n_cells, cap), pos.dtype)
-                .at[flat_s, slot_w].set(v, mode="drop")
-                .reshape(res, res, res, cap))
-
-    bx = scat(pos_s[:, 0])
-    by = scat(pos_s[:, 1])
-    bz = scat(pos_s[:, 2])
-    bm = scat(zero_m)
-
     rr = radius - 1
-    ax, ay, az = _bucket_stencil3(bx, by, bz, bm, rr, eps_sq)
-    ax = ax.reshape(n_cells, cap)
-    ay = ay.reshape(n_cells, cap)
-    az = az.reshape(n_cells, cap)
-    flat_c = jnp.minimum(flat_s, n_cells - 1)
-    ax_s = jnp.where(in_cap, ax[flat_c, slot_c], 0.0)
-    ay_s = jnp.where(in_cap, ay[flat_c, slot_c], 0.0)
-    az_s = jnp.where(in_cap, az[flat_c, slot_c], 0.0)
+
+    if use_pallas and rr >= 1:
+        from nbodysim_tpu.kernels.nearfield import (
+            _FlatLayout3, bucket_stencil3_pallas_flat)
+
+        layout = _FlatLayout3(res, res, cap, rr, 512)
+        cx = flat_s // (res * res)
+        cyz = flat_s - cx * res * res
+        cy = cyz // res
+        cz = cyz - cy * res
+        ok = flat_s < n_cells
+        pf = jnp.where(ok, layout.flat_index(cx + rr, cy, cz), layout.f_len)
+
+        def scat_f(v):
+            return (jnp.zeros((cap, layout.f_len), pos.dtype)
+                    .at[slot_w, pf].set(v, mode="drop"))
+
+        outx, outy, outz = bucket_stencil3_pallas_flat(
+            scat_f(pos_s[:, 0]), scat_f(pos_s[:, 1]), scat_f(pos_s[:, 2]),
+            scat_f(zero_m), layout, eps_sq=eps_sq, interpret=interpret)
+        opos = jnp.minimum(jnp.where(ok, layout.out_index(cx, cy, cz), 0),
+                           outx.shape[1] - 1)
+        keep = in_cap & ok
+        ax_s = jnp.where(keep, outx[slot_c, opos], 0.0)
+        ay_s = jnp.where(keep, outy[slot_c, opos], 0.0)
+        az_s = jnp.where(keep, outz[slot_c, opos], 0.0)
+    else:
+        def scat(v):
+            return (jnp.zeros((n_cells, cap), pos.dtype)
+                    .at[flat_s, slot_w].set(v, mode="drop")
+                    .reshape(res, res, res, cap))
+
+        bx = scat(pos_s[:, 0])
+        by = scat(pos_s[:, 1])
+        bz = scat(pos_s[:, 2])
+        bm = scat(zero_m)
+
+        ax, ay, az = _bucket_stencil3(bx, by, bz, bm, rr, eps_sq)
+        ax = ax.reshape(n_cells, cap)
+        ay = ay.reshape(n_cells, cap)
+        az = az.reshape(n_cells, cap)
+        flat_c = jnp.minimum(flat_s, n_cells - 1)
+        ax_s = jnp.where(in_cap, ax[flat_c, slot_c], 0.0)
+        ay_s = jnp.where(in_cap, ay[flat_c, slot_c], 0.0)
+        az_s = jnp.where(in_cap, az[flat_c, slot_c], 0.0)
     acc_s = jnp.stack([ax_s, ay_s, az_s], axis=-1)
 
     # Exact residual for bucket overflow (same scheme as 2D).
@@ -439,9 +467,11 @@ def _near_field_buckets3(pos, mass, ci, flat, levels: int, eps_sq, g_const,
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
-                                             "near_cap", "radius"))
+                                             "near_cap", "radius",
+                                             "nf_pallas", "interpret"))
 def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
-                       near_cap: int, radius: int):
+                       near_cap: int, radius: int,
+                       nf_pallas: bool = False, interpret: bool = False):
     n = pos.shape[0]
     ext = _extract_heavy_outliers(pos, mass)
     is_heavy, h_pos, h_mass = ext["is_heavy"], ext["h_pos"], ext["h_mass"]
@@ -493,7 +523,7 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     flat_nf = jnp.where(is_out, res * res * res + jnp.arange(n), flat)
     near, overflow = _near_field_buckets3(
         pos, tree_mass, ci, flat_nf, levels, eps_sq, g_const, near_cap,
-        radius)
+        radius, use_pallas=nf_pallas, interpret=interpret)
 
     acc = jnp.where(is_out[:, None], 0.0,
                     far + near + acc_from_out) + acc_heavy
@@ -532,11 +562,14 @@ def bh3_accelerations(pos: jax.Array, mass: jax.Array,
     """Approximate softened accelerations via the 3D octree FMM."""
     if pos.shape[1] != 3:
         raise ValueError("bh3_accelerations is the dim=3 tree code")
+    from nbodysim_tpu.physics.barneshut import _nf_use_pallas
+
     levels = _resolve_levels3(config, pos.shape[0])
     return _bh3_accelerations(
         pos, mass, levels=levels, eps_sq=float(config.eps_sq),
         g_const=float(config.g_const), near_cap=NEAR_CAP,
-        radius=_resolve_radius3(config))
+        radius=_resolve_radius3(config),
+        nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret)
 
 
 def bh3_near_overflow(pos: jax.Array, mass: jax.Array,

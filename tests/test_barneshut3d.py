@@ -158,6 +158,19 @@ def test_auto_backend_falls_back_on_clustered_scene(monkeypatch):
     assert resolve_backend_for_state(pos_u, mass, cfg) == "bh"
 
 
+def test_bh3_pallas_nearfield_matches_xla():
+    """The 3D Pallas sorted-slab near-field kernel (interpret mode on CPU)
+    reproduces the XLA bucket stencil through the full octree eval."""
+    pos, mass = _system3(4096, seed=11)
+    cfg_x = SimConfig(n=4096, dim=3, force_backend="bh", bh_levels=4)
+    cfg_p = SimConfig(n=4096, dim=3, force_backend="bh", bh_levels=4,
+                      pallas_interpret=True)
+    a_x = np.asarray(bh3_accelerations(pos, mass, cfg_x))
+    a_p = np.asarray(bh3_accelerations(pos, mass, cfg_p))
+    scale = np.abs(a_x).max()
+    np.testing.assert_allclose(a_p, a_x, atol=scale * 1e-6)
+
+
 def test_bh3_momentum_balance():
     pos, mass = _system3(2048, seed=2)
     cfg = SimConfig(n=2048, dim=3, force_backend="bh", bh_levels=4)

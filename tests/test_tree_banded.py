@@ -164,6 +164,19 @@ def test_banded3_fallback_small_grid(eight_devices):
     _check3(pos, mass, cfg)
 
 
+def test_banded3_pallas_nearfield_matches(eight_devices):
+    """The banded 3D near field through the Pallas kernel (interpret mode)
+    matches the single-chip XLA octree."""
+    pos, mass = _uniform3(4096, seed=9)
+    cfg_p = SimConfig(n=4096, dim=3, bh_levels=5, force_backend="bh",
+                      pallas_interpret=True)
+    cfg_x = SimConfig(n=4096, dim=3, bh_levels=5, force_backend="bh")
+    a_banded = _banded3(pos, mass, cfg_p)
+    a_single = np.asarray(bh_accelerations(pos, mass, cfg_x))
+    scale = np.abs(a_single).max()
+    np.testing.assert_allclose(a_banded, a_single, atol=scale * 2e-5)
+
+
 def test_banded3_two_device_mesh(eight_devices):
     pos, mass = _uniform3(2048, seed=5)
     cfg = SimConfig(n=2048, dim=3, bh_levels=4, force_backend="bh")
