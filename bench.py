@@ -41,13 +41,18 @@ def _bench_kernel(n: int, reps: int) -> float:
             return c + 1e-9 * a, None
 
         out, _ = lax.scan(body, p, None, length=reps)
-        return out
+        # scalar checksum: pulling the full [N, 2] carry through the
+        # tunnel costs ~100 ms at N=1M and would pollute the timing
+        return jnp.sum(out)
 
     f = jax.jit(chained)
     np.asarray(f(pos, mass))  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(f(pos, mass))  # device->host copy forces real completion
-    dt = (time.perf_counter() - t0) / reps
+    best = float("inf")
+    for _ in range(3):  # single tunnel laps vary up to ~1.5x
+        t0 = time.perf_counter()
+        np.asarray(f(pos, mass))  # 4-byte pull forces real completion
+        best = min(best, time.perf_counter() - t0)
+    dt = best / reps
     return n * n / dt
 
 
@@ -61,9 +66,12 @@ def _bench_step(n: int, reps: int) -> float:
     state = init_scene("uniform_disc", config)
     rollout = make_rollout(config, reps)
     np.asarray(rollout(state).pos)  # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(rollout(state).pos)
-    return reps / (time.perf_counter() - t0)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(rollout(state).pos)
+        best = min(best, time.perf_counter() - t0)
+    return reps / best
 
 
 def _bench_baseline_config(idx: int) -> dict:
@@ -171,6 +179,13 @@ def main():
             "value": bh["pairs_per_second"],
             "unit": "pairs-equiv/s",
             "vs_baseline": bh["pairs_per_second"] / BASELINE_PAIRS_PER_SEC,
+        }))
+        bh3 = measure_force_throughput(1 << 20, backend="bh", reps=3, dim=3)
+        print(json.dumps({
+            "metric": "3D octree FMM pairs-equivalent/sec/chip (N=1M)",
+            "value": bh3["pairs_per_second"],
+            "unit": "pairs-equiv/s",
+            "vs_baseline": bh3["pairs_per_second"] / BASELINE_PAIRS_PER_SEC,
         }))
 
 

@@ -70,7 +70,9 @@ class Stopwatch:
 def chain_evals(fn: Callable, x0: jax.Array, aux, reps: int):
     """Build a jitted function running `reps` dependent evals of fn under
     one lax.scan dispatch (defeats per-call dispatch latency and any
-    non-blocking sync over the device tunnel)."""
+    non-blocking sync over the device tunnel). Returns a SCALAR checksum,
+    not the carry: pulling the full [N, D] result through the tunnel costs
+    ~100 ms at N=1M — at reps=3 that inflated per-eval numbers ~30%."""
 
     def chained(x, a):
         def body(c, _):
@@ -78,7 +80,7 @@ def chain_evals(fn: Callable, x0: jax.Array, aux, reps: int):
             return c + 1e-9 * out, None
 
         out, _ = lax.scan(body, x, None, length=reps)
-        return out
+        return jnp.sum(out)
 
     return jax.jit(chained)
 
@@ -103,8 +105,9 @@ def measure_force_throughput(
         lambda p, m: compute_accelerations(p, m, config), pos, mass, reps)
     np.asarray(f(pos, mass))  # compile + warm
     sw = Stopwatch()
-    with sw.lap():
-        np.asarray(f(pos, mass))
+    for _ in range(3):  # best-of-3: single tunnel laps vary up to ~1.5x
+        with sw.lap():
+            np.asarray(f(pos, mass))
     per_eval = sw.best / reps
     return {
         "n": n,
@@ -127,8 +130,9 @@ def measure_step_throughput(
     rollout = make_rollout(config, reps)
     np.asarray(rollout(state).pos)  # compile + warm
     sw = Stopwatch()
-    with sw.lap():
-        np.asarray(rollout(state).pos)
+    for _ in range(3):
+        with sw.lap():
+            np.asarray(rollout(state).pos)
     return {
         "n": n,
         "steps_per_second": reps / sw.best,

@@ -47,10 +47,12 @@ Two exactness safeguards on top of the plain FMM:
     do not silently lose near-field mass.
 
 Accuracy (vs exact direct sum, p=2 local + quadrupole sources): uniform
-cloud median 1.1e-2 (R=2) / 2.1e-3 (R=3, default); disc and galaxy-merger
-scenes ~1e-6 (heavy extraction carries the dominant force exactly).
-Measured on one v5e chip at N=1M: 533 ms/eval (R=3) vs 5.04 s for the
-exact all-pairs kernel — 9.5x, a pairs-equivalent rate of 2.1e12/s.
+cloud median 1.1e-2 (R=2) / ~4e-3 (R=3, default, N=1M; level choice and
+mass spread barely move it — the truncation error is set by R); disc and
+galaxy-merger scenes ~1e-6 (heavy extraction carries the dominant force
+exactly). Measured on one v5e chip at N=1M (R=3, auto L=9, Pallas near
+field): 269 ms/eval vs 5.04 s for the exact all-pairs kernel — 19x, a
+pairs-equivalent rate of 4.1e12/s.
 """
 
 from __future__ import annotations
@@ -686,10 +688,15 @@ def bh_near_overflow(pos: jax.Array, mass: jax.Array,
 def _resolve_levels(config: SimConfig, n: int) -> int:
     levels = config.bh_levels
     if levels <= 0:
-        # Finest grid with ~1 particle per cell: r ~= sqrt(N). Clustered
-        # cells beyond the bucket cap are repaired by the residual pass.
-        # Capped at L=10 (r=1024): L=11 graphs crash the AOT compile helper.
-        levels = max(3, min(10, ((max(n, 16)) - 1).bit_length() // 2 + 1))
+        # Finest grid with ~4 particles per cell: r ~= sqrt(N/4). Measured
+        # on one v5e chip (N=1M uniform, R=3, Pallas near field): L=9
+        # (4/cell) 237 ms < L=10 (1/cell) 306 ms — the near-field pair
+        # blocks pay for K=16 slots regardless of occupancy, so mostly
+        # empty buckets waste VPU work; L=8 (16/cell) overflows the
+        # residual capacity and loses forces. Clustered cells beyond the
+        # bucket cap are repaired by the residual pass. Capped at L=10
+        # (r=1024): L=11 graphs crash the AOT compile helper.
+        levels = max(3, min(10, ((max(n, 16)) - 1).bit_length() - 2 >> 1))
     return levels
 
 

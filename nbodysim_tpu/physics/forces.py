@@ -204,8 +204,9 @@ def potential_energy(
 # and is, well, exact.
 BH_AUTO_THRESHOLD = 100_000
 # 3D octree crossover, measured on one v5e chip (uniform cloud, octree
-# defaults R=2/auto levels): N=65k exact 21 ms vs octree 54 ms; N=131k
-# exact 108 ms vs octree 82 ms; N=1M exact 5.92 s vs octree 552 ms (10.7x).
+# defaults R=2/auto levels, Pallas near field): N=65k exact 21 ms vs
+# octree ~50 ms; N=131k exact 108 ms vs octree 74 ms; N=1M exact 5.92 s
+# vs octree 364 ms (16x).
 BH3_AUTO_THRESHOLD = 100_000
 
 
