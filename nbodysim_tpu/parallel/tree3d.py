@@ -33,6 +33,7 @@ from nbodysim_tpu.physics.barneshut3d import (
     _bounding_cube,
     _bucket_stencil3,
     _l2l_upsample3,
+    _m2l_conv3,
     _m2l_level3,
     _m2l_stencil3,
     _moment_payload3,
@@ -171,8 +172,19 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         rb_l = r_l // p_dev
         row0_l = my * rb_l
         window = _halo_window3(band_grids[l], p, p_dev, axis_name)
-        terms = _m2l_stencil3(window, corner, size, r_l, eps_sq, radius,
-                              row0=row0_l, rows=rb_l)
+        if rb_l % 2 == 0:
+            # MXU contraction form (same math as the single-chip
+            # _m2l_level3, so banded == single-chip to roundoff): strip
+            # the y/z halo, keep 2(R-1) of the p x-halo slabs.
+            qh = radius - 1
+            gx = jnp.stack(
+                [w[p - 2 * qh: p + rb_l + 2 * qh, p: p + r_l, p: p + r_l]
+                 for w in window], axis=-1)
+            terms = _m2l_conv3(gx, corner, size, r_l, eps_sq, radius,
+                               row0=row0_l, rows=rb_l)
+        else:
+            terms = _m2l_stencil3(window, corner, size, r_l, eps_sq,
+                                  radius, row0=row0_l, rows=rb_l)
         if local is None:                        # ls == 2: no coarse prefix
             local = terms
         elif l == ls:
