@@ -45,14 +45,13 @@ class Simulation:
 
             state = init_scene(scene, self.config, **scene_kwargs)
         if self.config.force_backend == "auto":
-            # Pin 'auto' to a concrete backend from the actual particle
-            # distribution (clustered scenes can swamp the fixed-depth
-            # tree; see forces.resolve_backend_for_state).
-            from nbodysim_tpu.physics.forces import resolve_backend_for_state
+            # Pin 'auto' to a concrete backend (and, for clustered 2D
+            # scenes, the deep-overflow chain) from the actual particle
+            # distribution; see forces.resolve_config_for_state.
+            from nbodysim_tpu.physics.forces import resolve_config_for_state
 
-            self.config = self.config.replace(
-                force_backend=resolve_backend_for_state(
-                    state.pos, state.mass, self.config))
+            self.config = resolve_config_for_state(
+                state.pos, state.mass, self.config)
         if self.config.integrator == "leapfrog_kdk":
             state = prime_accelerations(state, self.config)
         self.state = state
@@ -73,7 +72,10 @@ class Simulation:
 
         exceeded = False
         backend = resolve_backend(self.config, self.state.n, self.state.dim)
-        if backend == "bh":
+        deep_on = self.state.dim == 2 and self.config.bh_deep_levels != 0
+        if backend == "bh" and not deep_on:
+            # With the deep-overflow chain active, overflow is covered
+            # (tree-PM regime) — no residual cap to exceed.
             from nbodysim_tpu.physics.barneshut import (
                 _OVERFLOW_CAP, bh_near_overflow)
 
@@ -88,9 +90,10 @@ class Simulation:
                 warnings.warn(
                     f"BH near-field overflow {over} exceeds the residual "
                     f"capacity {_OVERFLOW_CAP} on {when}; excess "
-                    f"particles get no near-field force. Use "
-                    f"force_backend='pallas' for this scene, or raise "
-                    f"bh_levels.", RuntimeWarning)
+                    f"particles get no near-field force. Set "
+                    f"bh_deep_levels=-1 (2D deep-overflow chain), or use "
+                    f"force_backend='pallas' for this scene.",
+                    RuntimeWarning)
 
         if (self.config.enable_collisions and self.state.dim == 2):
             from nbodysim_tpu.physics.collisions import (

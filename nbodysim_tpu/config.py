@@ -80,6 +80,13 @@ class SimConfig:
     # Heavy point masses are handled exactly regardless.
     bh_levels: int = 0
     bh_accept_radius: int = 0
+    # Deep-overflow multipole chain: extends the pyramid past the bucket
+    # level so arbitrarily clustered scenes (merger nuclei, Plummer cores)
+    # keep reference-quality-or-better forces at any cell occupancy.
+    # 0 = off, -1 = auto depth (occupancy probe at Simulation init turns
+    # this on when clustering exceeds the bucket+residual capacity),
+    # > bucket level = explicit deep level.
+    bh_deep_levels: int = 0
 
     # Numerics
     dtype: Any = jnp.float32

@@ -52,6 +52,7 @@ from nbodysim_tpu.physics.barneshut import (
     _bucket_stencil_dispatch,
     _extract_heavy_outliers,
     _l2l_upsample,
+    _m2l_conv,
     _m2l_level,
     _m2l_stencil,
     _near_masked_blocked,
@@ -186,8 +187,19 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         rb_l = r_l // p_dev
         row0_l = my * rb_l
         window = _halo_window(band_grids[l], p, p_dev, axis_name)
-        terms = _m2l_stencil(window, corner, size, r_l, eps_sq, radius,
-                             row0=row0_l, rows=rb_l)
+        if rb_l % 2 == 0:
+            # MXU contraction form (same math as the single-chip
+            # _m2l_level, so banded == single-chip to roundoff): strip
+            # the column halo, keep 2(R-1) of the p row-halo rows.
+            qh = radius - 1
+            gx = jnp.stack(
+                [w[p - 2 * qh: p + rb_l + 2 * qh, p: p + r_l]
+                 for w in window], axis=-1)
+            terms = _m2l_conv(gx, corner, size, r_l, eps_sq, radius,
+                              row0=row0_l, rows=rb_l)
+        else:
+            terms = _m2l_stencil(window, corner, size, r_l, eps_sq,
+                                 radius, row0=row0_l, rows=rb_l)
         if local is None:                        # ls == 2: no coarse prefix
             local = terms
         elif l == ls:

@@ -115,8 +115,18 @@ def _build_pyramid(pos, mass, levels: int):
 
 
 def _m2l_level(grids_l, corner, size, eps_sq, radius: int):
-    """V-list stencil at one full level -> p=2 local terms (F, J, H)."""
+    """V-list pass at one full level -> p=2 local terms (F, J, H).
+
+    Even grids (every real level) run as the parent-level MXU contraction
+    (`_m2l_conv`); the scan stencil remains as the oracle / odd-size
+    fallback."""
     r = grids_l[0].shape[0]
+    if r % 2 == 0 and r >= 2:
+        qh = radius - 1
+        gx = jnp.pad(jnp.stack(grids_l, axis=-1),
+                     ((2 * qh, 2 * qh), (0, 0), (0, 0)))
+        return _m2l_conv(gx, corner, size, r, eps_sq, radius,
+                         row0=jnp.int32(0), rows=r)
     p = 2 * radius - 1
     window = tuple(jnp.pad(g, p) for g in grids_l)
     return _m2l_stencil(window, corner, size, r, eps_sq, radius,
@@ -236,6 +246,155 @@ def _m2l_stencil(window, corner, size, r_full: int, eps_sq, radius: int,
     zeros = jnp.zeros((rows, r_full), dtype)
     out, _ = lax.scan(body, (zeros,) * 9, offsets)
     return out
+
+
+# ---------------------------------------------------------------------------
+# M2L as one MXU contraction — the 2D instance of the design documented at
+# length in barneshut3d.py (_m2l_conv3): cell-center moments make the
+# V-list translation-invariant, and the space-to-depth (parent-level) view
+# makes the parity-gated ring exact with taps at |PO|_inf <= R_parent - 1.
+# 2D shapes: 6 moment channels (m, d_x, d_y, Q_xx, Q_xy, Q_yy) x 4
+# children = 24 in, 9 local terms x 4 children = 36 out, (2Rp-1)^2 taps.
+# ---------------------------------------------------------------------------
+
+
+def _m2l_conv_weights(radius: int, r_parent: int, eps_sq_hat, dtype):
+    """[(2Rp-1)^2, 24, 36] tap weights W[PO, f*6+c_in, e*9+t_out].
+
+    Scale-free (offsets in cell units, eps_sq_hat = eps_sq / s_l^2; the
+    caller scales outputs by s_l^-(2,3,4) per term class) — see
+    barneshut3d._m2l_conv_weights3. Includes the rank-4 tensor couplings
+    (dipole->H, quadrupole->J) that the COM form carries implicitly."""
+    import numpy as np
+
+    from nbodysim_tpu.physics.barneshut3d import _m2l_conv_taps
+
+    po, el, fl, O = _m2l_conv_taps(radius, r_parent, 2)
+    r = jnp.asarray(O).astype(dtype)                           # [T, 2]
+    rx, ry = r[:, 0], r[:, 1]
+    q = rx * rx + ry * ry + eps_sq_hat
+    inv = lax.rsqrt(q)
+    inv3 = inv * inv * inv
+    inv5 = inv3 * inv * inv
+    inv7 = inv5 * inv * inv
+    inv9 = inv7 * inv * inv
+    x2, y2 = rx * rx, ry * ry
+
+    txxx = 15.0 * x2 * rx * inv7 - 9.0 * rx * inv5
+    txxy = 15.0 * x2 * ry * inv7 - 3.0 * ry * inv5
+    txyy = 15.0 * rx * y2 * inv7 - 3.0 * rx * inv5
+    tyyy = 15.0 * y2 * ry * inv7 - 9.0 * ry * inv5
+    uxxxx = -105.0 * x2 * x2 * inv9 + 90.0 * x2 * inv7 - 9.0 * inv5
+    uyyyy = -105.0 * y2 * y2 * inv9 + 90.0 * y2 * inv7 - 9.0 * inv5
+    uxxxy = -105.0 * x2 * rx * ry * inv9 + 45.0 * rx * ry * inv7
+    uxyyy = -105.0 * y2 * rx * ry * inv9 + 45.0 * rx * ry * inv7
+    uxxyy = -105.0 * x2 * y2 * inv9 + 15.0 * (x2 + y2) * inv7 - 3.0 * inv5
+
+    def row(f2, j3, h4):
+        return jnp.stack(tuple(f2) + tuple(j3) + tuple(h4), axis=-1)
+
+    row_m = row(
+        (inv3 * rx, inv3 * ry),
+        (3.0 * x2 * inv5 - inv3, 3.0 * rx * ry * inv5,
+         3.0 * y2 * inv5 - inv3),
+        (txxx, txxy, txyy, tyyy))
+    row_dx = row(
+        (inv3 - 3.0 * x2 * inv5, -3.0 * rx * ry * inv5),
+        (-txxx, -txxy, -txyy),
+        (uxxxx, uxxxy, uxxyy, uxyyy))
+    row_dy = row(
+        (-3.0 * rx * ry * inv5, inv3 - 3.0 * y2 * inv5),
+        (-txxy, -txyy, -tyyy),
+        (uxxxy, uxxyy, uxyyy, uyyyy))
+    zero = jnp.zeros_like(rx)
+    zeros4 = (zero,) * 4
+
+    def qrow(mult, t2, u3):
+        h = 0.5 * mult
+        return row((h * t2[0], h * t2[1]),
+                   tuple(-h * u for u in u3), zeros4)
+
+    row_qxx = qrow(1.0, (txxx, txxy), (uxxxx, uxxxy, uxxyy))
+    row_qxy = qrow(2.0, (txxy, txyy), (uxxxy, uxxyy, uxyyy))
+    row_qyy = qrow(1.0, (txyy, tyyy), (uxxyy, uxyyy, uyyyy))
+
+    B = jnp.stack((row_m, row_dx, row_dy, row_qxx, row_qxy, row_qyy),
+                  axis=1)                                       # [T, 6, 9]
+    k2 = (2 * r_parent - 1) ** 2
+    ci = fl[:, None, None] * 6 + np.arange(6)[None, :, None]
+    ti = el[:, None, None] * 9 + np.arange(9)[None, None, :]
+    pb = np.broadcast_to(po[:, None, None], ci.shape)
+    return jnp.zeros((k2, 24, 36), dtype).at[pb, ci, ti].set(B)
+
+
+def _center_channels(g6, corner, size, r_full: int, x0):
+    """Raw origin moments [X, r, 6] -> moments about each cell's own
+    center in CELL UNITS: (m, d/s_l, Q/s_l^2). x0 = global row of row 0."""
+    dtype = g6.dtype
+    s_l = size / r_full
+    inv_s = 1.0 / s_l
+    shape = g6.shape[:2]
+    cx = corner[0] + (lax.broadcasted_iota(jnp.int32, shape, 0) + x0
+                      ).astype(dtype) * s_l + 0.5 * s_l
+    cy = corner[1] + (lax.broadcasted_iota(jnp.int32, shape, 1)
+                      ).astype(dtype) * s_l + 0.5 * s_l
+    m = g6[..., 0]
+    sx, sy = g6[..., 1], g6[..., 2]
+    inv2 = inv_s * inv_s
+    return jnp.stack(
+        (m,
+         (sx - m * cx) * inv_s,
+         (sy - m * cy) * inv_s,
+         (g6[..., 3] - 2.0 * cx * sx + m * cx * cx) * inv2,
+         (g6[..., 4] - cx * sy - cy * sx + m * cx * cy) * inv2,
+         (g6[..., 5] - 2.0 * cy * sy + m * cy * cy) * inv2), axis=-1)
+
+
+def _m2l_conv(gx, corner, size, r_full: int, eps_sq, radius: int,
+              row0, rows: int, r_parent: int | None = None):
+    """One 2D M2L level as the parent-level MXU contraction.
+
+    gx: [rows + 4(Rp-1), r_full, 6] raw moment row-window whose first and
+    last 2(Rp-1) rows are halo (zeros beyond the grid); its row 0 is
+    global row row0 - 2(Rp-1). row0 and rows must be even. Returns the 9
+    local terms, [rows, r_full] each."""
+    R = radius
+    Rp = radius if r_parent is None else r_parent
+    qh = Rp - 1
+    h = r_full // 2
+    hb = rows // 2
+    dtype = gx.dtype
+
+    ch = _center_channels(gx, corner, size, r_full, row0 - 2 * qh)
+    X = rows + 4 * qh
+    m4 = (ch.reshape(X // 2, 2, h, 2, 6)
+          .transpose(0, 2, 1, 3, 4)
+          .reshape(X // 2, h, 24))
+    m4 = jnp.pad(m4, ((0, 0), (qh, qh), (0, 0)))
+    s_l = size / r_full
+    W = _m2l_conv_weights(R, Rp, eps_sq / (s_l * s_l), dtype)
+
+    k = 2 * Rp - 1
+    po = jnp.asarray([(a, b) for a in range(k) for b in range(k)],
+                     jnp.int32)
+
+    def body(acc, args):
+        o, wk = args
+        sl = lax.dynamic_slice(m4, (o[0], o[1], 0), (hb, h, 24))
+        return acc + lax.dot_general(
+            sl.reshape(-1, 24), wk, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST), None
+
+    out0 = jnp.zeros((hb * h, 36), dtype)
+    out, _ = lax.scan(body, out0, (po, W))
+    inv_s = 1.0 / s_l
+    s2 = inv_s * inv_s
+    term_scale = jnp.concatenate(
+        (jnp.full((2,), s2, dtype), jnp.full((3,), s2 * inv_s, dtype),
+         jnp.full((4,), s2 * s2, dtype)))
+    out = (out.reshape(hb, h, 2, 2, 9) * term_scale
+           ).transpose(0, 2, 1, 3, 4).reshape(rows, r_full, 9)
+    return tuple(out[..., i] for i in range(9))
 
 
 def _l2l_upsample(local, s_child):
@@ -381,9 +540,12 @@ def _bucket_stencil_dispatch(bx, by, bm, rr, eps_sq, center_rows,
 
 def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
                         cap: int, radius: int,
-                        use_pallas: bool = False, interpret: bool = False):
+                        use_pallas: bool = False, interpret: bool = False,
+                        skip_residual: bool = False):
     """Particle-particle near field on a dense [r, r, cap] bucket grid.
 
+    skip_residual=True drops the overflow-residual passes entirely (the
+    deep-overflow multipole path covers overflow targets instead).
     Returns (acc [N, 2], overflow_count)."""
     n = pos.shape[0]
     res = 1 << levels
@@ -491,7 +653,9 @@ def _near_field_buckets(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     # 16384-wide pass (measured 730 ms at N=1M) — lax.cond picks the
     # smallest tier that holds the actual overflow.
     m_small = min(n, _OVERFLOW_SMALL)
-    if m_small < m_cap:
+    if skip_residual:
+        pass
+    elif m_small < m_cap:
         acc_s = lax.cond(
             overflow > m_small, residual(m_cap),
             lambda a: lax.cond(overflow > 0, residual(m_small),
@@ -573,12 +737,77 @@ def heavy_coupling(tgt_pos, h_pos, h_mass, eps_sq, g_const):
     return g_const * jnp.einsum("nk,nkd->nd", w_h, d_h)
 
 
+_DEEP_SMOOTH = 0.09   # (0.3 s_d)^2: near-window cells act as Plummer
+                      # clouds of width ~0.3 cell — see docstring
+
+
+def _deep_near_aggregates(pos, payload, g6_deep, ci_deep, eps_sq, s_d,
+                          rr: int):
+    """Smoothed-aggregate near field of the deep-overflow path: the
+    (2rr+1)^2 deepest-level cell aggregates evaluated at each particle.
+
+    g6_deep: [rD, rD, 6] raw moment grid at the deep level. payload:
+    [N, 6] each particle's own raw moment row (subtracted from its home
+    cell so a particle never feels its own moment). Each cell is a
+    monopole-at-COM + quadrupole source — evaluated with the softening
+    widened to eps^2 + (0.3 s_d)^2 (s_d = deep cell size), i.e. the cell's
+    mass acts as a Plummer CLOUD of the cell's own width rather than a
+    point. A point aggregate is catastrophically wrong from INSIDE a
+    dense cell (the true contributions of a symmetric cloud around the
+    target nearly cancel; a point at the COM does not) — the widened
+    kernel is smooth through the cell interior and restores the
+    cancellation, exactly the particle-mesh near-field model. 0.3 s_d
+    matches a Plummer sphere's half-mass radius to a uniform cell's.
+    Returns [N, 2] (un-multiplied by g_const)."""
+    eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
+    r_d = g6_deep.shape[0]
+    gp = jnp.pad(g6_deep, ((rr, rr), (rr, rr), (0, 0))).reshape(-1, 6)
+    row = ci_deep[:, 0] + rr
+    col = ci_deep[:, 1] + rr
+    px, py = pos[:, 0], pos[:, 1]
+    ax = jnp.zeros_like(px)
+    ay = jnp.zeros_like(py)
+    for ox in range(-rr, rr + 1):
+        for oy in range(-rr, rr + 1):
+            ch = gp[(row + ox) * (r_d + 2 * rr) + (col + oy)]  # [N, 6]
+            if ox == 0 and oy == 0:
+                ch = ch - payload
+            m = ch[:, 0]
+            safe_m = jnp.where(m > 0, m, 1.0)
+            comx = ch[:, 1] / safe_m
+            comy = ch[:, 2] / safe_m
+            qxx = ch[:, 3] - m * comx * comx
+            qxy = ch[:, 4] - m * comx * comy
+            qyy = ch[:, 5] - m * comy * comy
+            dx = comx - px
+            dy = comy - py
+            q = dx * dx + dy * dy + eps_sq
+            inv = lax.rsqrt(q)
+            inv3 = inv * inv * inv
+            inv5 = inv3 * inv * inv
+            inv7 = inv5 * inv * inv
+            w3 = m * inv3
+            u7 = 15.0 * inv7
+            u5 = 3.0 * inv5
+            txxx = u7 * dx * dx * dx - 3.0 * u5 * dx
+            txxy = u7 * dx * dx * dy - u5 * dy
+            txyy = u7 * dx * dy * dy - u5 * dx
+            tyyy = u7 * dy * dy * dy - 3.0 * u5 * dy
+            ax = ax + w3 * dx + 0.5 * (qxx * txxx + 2.0 * qxy * txxy
+                                       + qyy * txyy)
+            ay = ay + w3 * dy + 0.5 * (qxx * txxy + 2.0 * qxy * txyy
+                                       + qyy * tyyy)
+    return jnp.stack([ax, ay], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
                                              "near_cap", "radius",
-                                             "nf_pallas", "interpret"))
+                                             "nf_pallas", "interpret",
+                                             "deep_levels"))
 def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                       near_cap: int, radius: int,
-                      nf_pallas: bool = False, interpret: bool = False):
+                      nf_pallas: bool = False, interpret: bool = False,
+                      deep_levels: int = 0):
     n = pos.shape[0]
     ext = _extract_heavy_outliers(pos, mass)
     is_heavy, h_pos, h_mass = ext["is_heavy"], ext["h_pos"], ext["h_mass"]
@@ -608,7 +837,23 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
 
     mass = ext["tree_mass"]      # the tree sees only the bulk
     bulk_pos = ext["bulk_pos"]
-    grids, corner, size, ci, flat = _build_pyramid(bulk_pos, mass, levels)
+    # Deep-overflow mode (deep_levels > levels): the pyramid extends past
+    # the bucket level down to `deep_levels`. Targets whose near window
+    # touches an overflowing cell take the DEEP PATH — local expansion
+    # descended to the deep level + exact-moment 3x3 cell aggregates there
+    # — instead of buckets+residual, so arbitrarily clustered scenes
+    # (galaxy-merger nuclei, Plummer cores) get reference-quality-or-
+    # better forces at any occupancy, with no residual-capacity cliff.
+    deep = deep_levels if deep_levels > levels else 0
+    build_levels = deep if deep else levels
+    grids, corner, size, ci_f, flat_f = _build_pyramid(
+        bulk_pos, mass, build_levels)
+    res = 1 << levels
+    if deep:
+        ci = ci_f >> (deep - levels)           # bucket-level cell indices
+        flat = ci[:, 0] * res + ci[:, 1]
+    else:
+        ci, flat = ci_f, flat_f
 
     # Downward pass: M2L at each level + L2L to the next.
     local = None
@@ -621,10 +866,69 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
             local = tuple(
                 u + t for u, t in zip(_l2l_upsample(local, s_child), terms)
             )
+    local_bucket = local
+
+    if deep:
+        # Continue the chain below the bucket level at the same radius
+        # (the p=2 expansion at the deep scale is the accuracy limiter,
+        # so the deep chain keeps the full R rather than dropping to 2).
+        for l in range(levels + 1, deep + 1):
+            terms = _m2l_level(grids[l], corner, size, eps_sq, radius)
+            up = _l2l_upsample(local, size / (1 << l))
+            local = tuple(u + t for u, t in zip(up, terms))
+        local_deep = local
 
     # L2P: ONE fused gather of the 9 (F, J, H) terms per particle +
     # second-order evaluation (9 separate [N]-gathers cost 9 HBM passes).
-    res = 1 << levels
+    far = g_const * _l2p_eval(local_bucket, ci, pos, corner, size, levels)
+
+    # Outliers must not enter the near-field buckets (their clipped cells
+    # would crowd central slots): give each a unique out-of-range flat id —
+    # the scatter drops them, no probe ever matches them, and their own
+    # (garbage) rows are replaced below.
+    flat_nf = jnp.where(is_out, res * res + jnp.arange(n), flat)
+    near, overflow = _near_field_buckets(
+        pos, mass, ci, flat_nf, levels, eps_sq, g_const, near_cap, radius,
+        use_pallas=nf_pallas, interpret=interpret,
+        skip_residual=bool(deep))
+
+    if deep:
+        # Deep-path target selection: any overflowing cell within the
+        # bucket stencil window (Chebyshev radius - 1).
+        occ = jnp.zeros((res * res,), jnp.int32).at[flat_nf].add(
+            1, mode="drop")
+        hot = (occ > near_cap).reshape(res, res)
+        rr = radius - 1
+        hotp = jnp.pad(hot, rr)
+        bmask = jnp.zeros((res, res), bool)
+        for ox in range(2 * rr + 1):
+            for oy in range(2 * rr + 1):
+                bmask = bmask | hotp[ox:ox + res, oy:oy + res]
+        b_par = bmask.reshape(-1)[flat]                        # [N]
+
+        far_deep = g_const * _l2p_eval(local_deep, ci_f, pos, corner,
+                                       size, deep)
+        payload = _moment_payload(pos, mass)
+        deep_near = g_const * _deep_near_aggregates(
+            pos, payload, jnp.stack(grids[deep], axis=-1), ci_f, eps_sq,
+            size / (1 << deep), rr=radius - 1)
+        far = jnp.where(b_par[:, None], far_deep, far)
+        near = jnp.where(b_par[:, None], deep_near, near)
+
+    # NOTE: without deep mode, overflow beyond the residual capacity
+    # silently degrades; the device tunnel rejects host callbacks
+    # (jax.debug.print), so the check lives host-side in
+    # api.Simulation/_check_capacity (run once at init + CLI log loop).
+    acc = jnp.where(is_out[:, None], 0.0,
+                    far + near + acc_from_out) + acc_heavy
+    acc = acc.at[out_i].add(jnp.where(out_sel[:, None], acc_out, 0.0))
+    return acc
+
+
+def _l2p_eval(local, ci, pos, corner, size, level: int):
+    """Second-order local-expansion evaluation at each particle (L2P),
+    one fused [9, N] gather. Returns [N, 2], un-scaled by g_const."""
+    res = 1 << level
     s_l = size / res
     cellx = ci[:, 0]
     celly = ci[:, 1]
@@ -642,24 +946,7 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     far_y = (fy_g + jxy_g * dxp + jyy_g * dyp
              + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
                       + hyyy_g * dyp * dyp))
-    far = g_const * jnp.stack([far_x, far_y], axis=-1)
-
-    # Outliers must not enter the near-field buckets (their clipped cells
-    # would crowd central slots): give each a unique out-of-range flat id —
-    # the scatter drops them, no probe ever matches them, and their own
-    # (garbage) rows are replaced below.
-    flat_nf = jnp.where(is_out, res * res + jnp.arange(n), flat)
-    near, overflow = _near_field_buckets(
-        pos, mass, ci, flat_nf, levels, eps_sq, g_const, near_cap, radius,
-        use_pallas=nf_pallas, interpret=interpret)
-
-    # NOTE: overflow beyond the residual capacity silently degrades; the
-    # device tunnel rejects host callbacks (jax.debug.print), so the check
-    # lives host-side in api.Simulation/_check_capacity (run once at init).
-    acc = jnp.where(is_out[:, None], 0.0,
-                    far + near + acc_from_out) + acc_heavy
-    acc = acc.at[out_i].add(jnp.where(out_sel[:, None], acc_out, 0.0))
-    return acc
+    return jnp.stack([far_x, far_y], axis=-1)
 
 
 def bh_near_overflow(pos: jax.Array, mass: jax.Array,
@@ -718,7 +1005,25 @@ def bh_accelerations(pos: jax.Array, mass: jax.Array,
         g_const=float(config.g_const), near_cap=NEAR_CAP,
         radius=_resolve_radius(config),
         nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret,
+        deep_levels=_resolve_deep_levels(config, levels),
     )
+
+
+_MAX_DEEP_2D = 13   # 8192^2 moment grid = 1.6 GB f32; 2^14 would be 6.4 GB
+
+
+def _resolve_deep_levels(config: SimConfig, levels: int) -> int:
+    """Deep-overflow chain depth. 0 disables; >0 is explicit; -1 (auto)
+    descends 3 levels past the buckets (64x the per-cell resolution),
+    capped by the HBM-feasible grid. The occupancy probe in
+    forces.resolve_config_for_state turns auto ON only for scenes whose
+    clustering exceeds the bucket+residual capacity."""
+    d = config.bh_deep_levels
+    if d == 0:
+        return 0
+    if d < 0:
+        d = levels + 3
+    return max(levels + 1, min(d, _MAX_DEEP_2D)) if d > levels else 0
 
 
 def _nf_use_pallas(config: SimConfig) -> bool:

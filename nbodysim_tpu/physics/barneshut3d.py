@@ -259,30 +259,36 @@ def _m2l_stencil3(window, corner, size, r_full: int, eps_sq, radius: int,
 
 
 @functools.lru_cache(maxsize=None)
-def _m2l_conv_taps3(radius: int):
+def _m2l_conv_taps(radius: int, r_parent: int, dim: int):
     """Static tap table for the parent-level M2L contraction.
 
     Returns (po_lin, e_lin, f_lin, o) numpy int arrays over every kept tap:
-    parent offset PO (linearized over the (2R-1)^3 kernel), target child
-    parity e, source child position f, and the child-level offset
-    o = 2*PO + f - e with cheb(o) >= R."""
+    parent offset PO (linearized over the (2*r_parent-1)^dim kernel),
+    target child parity e, source child position f, and the child-level
+    offset o = 2*PO + f - e with cheb(o) >= radius.
+
+    r_parent is the acceptance radius the PARENT level ran with: the
+    parent left cells at parent-cheb <= r_parent-1 uncovered, so this
+    level's taps live at |PO|_inf <= r_parent - 1. Same-radius chains pass
+    r_parent == radius; the deep-overflow chain transitions R=3 -> R=2
+    with one (radius=2, r_parent=3) level."""
     import itertools
 
     import numpy as np
 
-    R = radius
-    q = R - 1
-    k = 2 * R - 1
+    q = r_parent - 1
+    k = 2 * r_parent - 1
     po_l, e_l, f_l, os_ = [], [], [], []
-    for px, py, pz in itertools.product(range(-q, q + 1), repeat=3):
-        for ei, (ex, ey, ez) in enumerate(
-                itertools.product((0, 1), repeat=3)):
-            for fi, (fx, fy, fz) in enumerate(
-                    itertools.product((0, 1), repeat=3)):
-                o = (2 * px + fx - ex, 2 * py + fy - ey, 2 * pz + fz - ez)
-                if max(abs(c) for c in o) < R:
+    for po in itertools.product(range(-q, q + 1), repeat=dim):
+        for ei, e in enumerate(itertools.product((0, 1), repeat=dim)):
+            for fi, f in enumerate(itertools.product((0, 1), repeat=dim)):
+                o = tuple(2 * po[a] + f[a] - e[a] for a in range(dim))
+                if max(abs(c) for c in o) < radius:
                     continue          # near field, not M2L
-                po_l.append(((px + q) * k + py + q) * k + pz + q)
+                lin = 0
+                for a in range(dim):
+                    lin = lin * k + po[a] + q
+                po_l.append(lin)
                 e_l.append(ei)
                 f_l.append(fi)
                 os_.append(o)
@@ -290,8 +296,8 @@ def _m2l_conv_taps3(radius: int):
             np.asarray(f_l, np.int32), np.asarray(os_, np.int32))
 
 
-def _m2l_conv_weights3(radius: int, eps_sq_hat, dtype):
-    """[(2R-1)^3, 80, 152] tap weights W[PO, f*10+c_in, e*19+t_out].
+def _m2l_conv_weights3(radius: int, r_parent: int, eps_sq_hat, dtype):
+    """[(2Rp-1)^3, 80, 152] tap weights W[PO, f*10+c_in, e*19+t_out].
 
     SCALE-FREE form: offsets are the raw lattice vectors o (O(1) numbers)
     and eps_sq_hat = eps_sq / s_l^2; the caller feeds centered moments in
@@ -302,7 +308,7 @@ def _m2l_conv_weights3(radius: int, eps_sq_hat, dtype):
     scalar math, negligible."""
     import numpy as np
 
-    po, el, fl, O = _m2l_conv_taps3(radius)
+    po, el, fl, O = _m2l_conv_taps(radius, r_parent, 3)
     r = jnp.asarray(O).astype(dtype)                           # [T, 3]
     rx, ry, rz = r[:, 0], r[:, 1], r[:, 2]
     q = rx * rx + ry * ry + rz * rz + eps_sq_hat
@@ -413,7 +419,7 @@ def _m2l_conv_weights3(radius: int, eps_sq_hat, dtype):
 
     B = jnp.stack((row_m, row_dx, row_dy, row_dz, row_qxx, row_qxy,
                    row_qxz, row_qyy, row_qyz, row_qzz), axis=1)  # [T,10,19]
-    k3 = (2 * radius - 1) ** 3
+    k3 = (2 * r_parent - 1) ** 3
     ci = fl[:, None, None] * 10 + np.arange(10)[None, :, None]
     ti = el[:, None, None] * 19 + np.arange(19)[None, None, :]
     pb = np.broadcast_to(po[:, None, None], ci.shape)
@@ -452,15 +458,18 @@ def _center_channels3(g10, corner, size, r_full: int, x0):
 
 
 def _m2l_conv3(gx, corner, size, r_full: int, eps_sq, radius: int,
-               row0, rows: int):
+               row0, rows: int, r_parent: int | None = None):
     """One level of M2L as the parent-level MXU contraction.
 
-    gx: [rows + 4(R-1), r_full, r_full, 10] raw moment x-window whose first
-    and last 2(R-1) slabs are halo (zeros beyond the global grid); its row 0
-    is global x index row0 - 2(R-1). row0 and rows must be even. Returns the
-    19 local terms, [rows, r_full, r_full] each."""
+    gx: [rows + 4(Rp-1), r_full, r_full, 10] raw moment x-window whose
+    first and last 2(Rp-1) slabs are halo (zeros beyond the global grid);
+    its row 0 is global x index row0 - 2(Rp-1). row0 and rows must be
+    even. r_parent (default radius) is the parent level's acceptance
+    radius — see _m2l_conv_taps. Returns the 19 local terms,
+    [rows, r_full, r_full] each."""
     R = radius
-    qh = R - 1
+    Rp = radius if r_parent is None else r_parent
+    qh = Rp - 1
     h = r_full // 2
     hb = rows // 2
     dtype = gx.dtype
@@ -472,9 +481,9 @@ def _m2l_conv3(gx, corner, size, r_full: int, eps_sq, radius: int,
           .reshape(X // 2, h, h, 80))
     m8 = jnp.pad(m8, ((0, 0), (qh, qh), (qh, qh), (0, 0)))
     s_l = size / r_full
-    W = _m2l_conv_weights3(R, eps_sq / (s_l * s_l), dtype)
+    W = _m2l_conv_weights3(R, Rp, eps_sq / (s_l * s_l), dtype)
 
-    k = 2 * R - 1
+    k = 2 * Rp - 1
     po = jnp.asarray(
         [(a, b, c) for a in range(k) for b in range(k) for c in range(k)],
         jnp.int32)
@@ -808,13 +817,15 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
 def _resolve_levels3(config: SimConfig, n: int) -> int:
     levels = config.bh_levels
     if levels <= 0:
-        # ~1-4 particles per cell, capped at L=6 (64^3 cells). Measured on
-        # one v5e chip (R=2, uniform): 65k: L=5 54ms < L=4 80ms; 262k:
-        # L=6 224ms < L=5 302ms; 1M: L=6 602ms << L=7 1328ms — the octree
-        # M2L is HBM-traffic bound (10 moment slices + 19 accumulator
-        # grids per offset), so past 64^3 the grid costs more than the
-        # K=16 bucket near field absorbs.
-        levels = max(2, min(6, (max(n, 8).bit_length() - 1) // 3))
+        # ~1-4 particles per cell. Measured on one v5e chip (R=2,
+        # uniform, Pallas near field + conv M2L): 65k: L=5 54ms < L=4
+        # 80ms; 262k: L=6 224ms < L=5 302ms; 1M: L=6 353ms < L=7 745ms;
+        # 4M: L=7 1.97s << L=6 4.06s (L=6 overflows 414k particles into
+        # the residual at 16/cell). The old L=6 cap existed because the
+        # scan-form M2L was HBM-bound at 128^3 (1.33s at N=1M); the MXU
+        # contraction form removed that wall.
+        levels = max(2, min(_MAX_LEVELS_3D,
+                            (max(n, 8).bit_length() - 1) // 3))
     return min(levels, _MAX_LEVELS_3D)
 
 

@@ -224,21 +224,34 @@ def resolve_backend(config: SimConfig, n: int, dim: int) -> str:
 
 
 def resolve_backend_for_state(pos, mass, config: SimConfig) -> str:
+    """State-aware 'auto' backend resolution (string form; see
+    resolve_config_for_state for the full pinning api.Simulation uses)."""
+    return resolve_config_for_state(pos, mass, config).force_backend
+
+
+def resolve_config_for_state(pos, mass, config: SimConfig) -> SimConfig:
     """State-aware 'auto' resolution: like `resolve_backend`, but when the
-    tree code would be chosen, probe the near-field bucket occupancy of the
-    ACTUAL particle distribution (host-side, once) and fall back to the
-    exact kernels if the overflow exceeds the residual capacity — a
-    centrally-clustered scene (e.g. a Plummer sphere at N=1M in 3D) can
-    swamp the fixed-depth grid so badly that most particles would get no
-    near-field force at all. Exact-and-slow beats fast-and-wrong; an
-    explicit force_backend='bh' still honors the user's choice (with the
-    capacity warning from api.check_capacity)."""
+    tree code would be chosen, probe the near-field bucket occupancy of
+    the ACTUAL particle distribution (host-side, once). If the overflow
+    exceeds the exact-residual capacity, the scene is too clustered for
+    the fixed-depth buckets alone:
+
+      * dim=2: stay on the tree and turn ON the deep-overflow multipole
+        chain (bh_deep_levels=-1, tree-PM regime: exact buckets where
+        they hold, PM-smoothed aggregates at the deep-grid scale inside
+        ultra-dense cores) — bounded physics at any clustering, O(N).
+      * dim=3: fall back to the exact kernels (the 3D deep chain is
+        memory-capped at 256^3, too coarse to be worth it; exact-and-slow
+        beats fast-and-wrong).
+
+    An explicit force_backend='bh' still honors the user's choice (with
+    the capacity warning from api.check_capacity)."""
     import warnings
 
     n, dim = pos.shape[0], pos.shape[1]
     backend = resolve_backend(config, n, dim)
     if backend != "bh" or config.force_backend != "auto":
-        return backend
+        return config.replace(force_backend=backend)
     if dim == 3:
         from nbodysim_tpu.physics.barneshut3d import bh3_near_overflow
         over = bh3_near_overflow(pos, mass, config)
@@ -248,15 +261,25 @@ def resolve_backend_for_state(pos, mass, config: SimConfig) -> str:
     from nbodysim_tpu.physics.barneshut import _OVERFLOW_CAP
 
     if over > _OVERFLOW_CAP:
-        exact = "pallas" if jax.default_backend() == "tpu" else "xla"
-        warnings.warn(
-            f"auto force backend: the scene is too clustered for the "
-            f"fixed-depth tree (near-field overflow {over} > residual "
-            f"capacity {_OVERFLOW_CAP}); using the exact "
-            f"'{exact}' kernel instead. Set force_backend='bh' to "
-            f"override.", RuntimeWarning)
-        return exact
-    return "bh"
+        if dim == 2 and config.bh_deep_levels == 0:
+            warnings.warn(
+                f"auto force backend: near-field overflow {over} exceeds "
+                f"the exact-residual capacity {_OVERFLOW_CAP}; enabling "
+                f"the deep-overflow multipole chain (tree-PM regime — "
+                f"forces inside ultra-dense cells are smoothed at the "
+                f"deep-grid scale). Set force_backend explicitly to "
+                f"override.", RuntimeWarning)
+            return config.replace(force_backend="bh", bh_deep_levels=-1)
+        if dim == 3:
+            exact = "pallas" if jax.default_backend() == "tpu" else "xla"
+            warnings.warn(
+                f"auto force backend: the scene is too clustered for the "
+                f"fixed-depth tree (near-field overflow {over} > residual "
+                f"capacity {_OVERFLOW_CAP}); using the exact "
+                f"'{exact}' kernel instead. Set force_backend='bh' to "
+                f"override.", RuntimeWarning)
+            return config.replace(force_backend=exact)
+    return config.replace(force_backend="bh")
 
 
 def compute_accelerations(

@@ -1,0 +1,119 @@
+"""Deep-overflow multipole chain (2D tree-PM regime).
+
+Covers the three contracts of barneshut._bh_accelerations(deep_levels=...):
+  1. a scene with NO overflowing cells is bit-for-bit unaffected (the
+     deep branch only replaces forces near hot cells);
+  2. a heavily clustered scene gets bounded, locally-smoothed forces at
+     any occupancy (no residual-capacity cliff, no blowups), while
+     particles away from the hot region keep exact-tier accuracy;
+  3. 'auto' backend resolution turns the chain on (and the capacity
+     warning off) when clustering exceeds the exact-residual capacity.
+"""
+
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.physics import barneshut as bh
+from nbodysim_tpu.physics.forces import direct_accelerations
+
+EPS_SQ = 1.0
+
+
+def _forces(pos, mass, levels, deep):
+    return np.asarray(bh._bh_accelerations(
+        pos, mass, levels=levels, eps_sq=EPS_SQ, g_const=1.0,
+        near_cap=bh.NEAR_CAP, radius=3, deep_levels=deep))
+
+
+def _clustered(n, seed=3):
+    k = jax.random.split(jax.random.PRNGKey(seed), 4)
+    blob1 = 60.0 * jax.random.normal(k[0], (n // 4, 2)) + jnp.array(
+        [1500.0, -700.0])
+    blob2 = 40.0 * jax.random.normal(k[1], (n // 4, 2)) + jnp.array(
+        [-2000.0, 1000.0])
+    bg = jax.random.uniform(k[2], (n // 2, 2), jnp.float32,
+                            -4000.0, 4000.0)
+    pos = jnp.concatenate([blob1, blob2, bg]).astype(jnp.float32)
+    mass = jax.random.uniform(k[3], (n,), jnp.float32, 0.1, 10.0)
+    return pos, mass
+
+
+def test_deep_inert_without_overflow():
+    n = 2048
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    pos = jax.random.uniform(k1, (n, 2), jnp.float32, -4000.0, 4000.0)
+    mass = jax.random.uniform(k2, (n,), jnp.float32, 0.1, 10.0)
+    cfg = SimConfig(n=n)
+    assert int(bh.bh_near_overflow(pos, mass,
+                                   SimConfig(n=n, bh_levels=4))) == 0
+    a0 = _forces(pos, mass, 4, 0)
+    a1 = _forces(pos, mass, 4, 8)
+    # no hot cells -> the deep branch selects nothing; only roundoff from
+    # building the pyramid deeper and pooling up differs.
+    assert np.allclose(a0, a1, rtol=1e-4, atol=1e-7), (
+        np.abs(a0 - a1).max())
+
+
+def test_deep_clustered_bounded_and_cool_targets_exact():
+    n = 4096
+    pos, mass = _clustered(n)
+    cfg_probe = SimConfig(n=n, bh_levels=4)
+    over = int(bh.bh_near_overflow(pos, mass, cfg_probe))
+    assert over > 1000, over          # the scene really is clustered
+
+    a_d = np.asarray(direct_accelerations(pos, mass, eps_sq=EPS_SQ,
+                                          g_const=1.0))
+    a = _forces(pos, mass, 4, 9)
+    rel = (np.linalg.norm(a - a_d, axis=1)
+           / (np.linalg.norm(a_d, axis=1) + 1e-12))
+    # background half of the particles: away from the blobs -> exact-tier
+    bg_rel = rel[n // 2:]
+    assert np.median(bg_rel) < 2e-2, np.median(bg_rel)
+    # blob particles: PM-smoothed, bounded — no runaway forces. The old
+    # residual-overflow path injected unbounded one-sided errors here.
+    fmag = np.linalg.norm(a, axis=1)
+    dmag = np.linalg.norm(a_d, axis=1)
+    assert fmag.max() < 10.0 * dmag.max(), (fmag.max(), dmag.max())
+    assert np.isfinite(a).all()
+
+
+def test_auto_resolution_enables_deep_chain():
+    from nbodysim_tpu.physics.forces import resolve_config_for_state
+
+    n = 4096
+    pos, mass = _clustered(n)
+    # force the bh branch of auto by a tiny threshold override: call the
+    # resolver with a config whose n exceeds the auto threshold is not
+    # possible here, so drive the probe directly via a bh-selecting n.
+    cfg = SimConfig(n=n, force_backend="auto", bh_levels=4)
+    from nbodysim_tpu.physics import forces as forces_mod
+    orig = forces_mod.BH_AUTO_THRESHOLD
+    orig_cap = bh._OVERFLOW_CAP
+    forces_mod.BH_AUTO_THRESHOLD = 1024
+    # the exact residual covers any overflow at n <= 16384, so shrink the
+    # capacity to exercise the production-scale activation path
+    bh._OVERFLOW_CAP = 100
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = resolve_config_for_state(pos, mass, cfg)
+        assert out.force_backend == "bh"
+        assert out.bh_deep_levels == -1
+        assert any("deep-overflow" in str(x.message) for x in w)
+    finally:
+        forces_mod.BH_AUTO_THRESHOLD = orig
+        bh._OVERFLOW_CAP = orig_cap
+
+
+def test_resolve_deep_levels():
+    cfg = SimConfig(n=1024)
+    assert bh._resolve_deep_levels(cfg, 10) == 0
+    assert bh._resolve_deep_levels(cfg.replace(bh_deep_levels=-1), 10) == 13
+    assert bh._resolve_deep_levels(cfg.replace(bh_deep_levels=12), 10) == 12
+    # shallower-than-bucket request disables
+    assert bh._resolve_deep_levels(cfg.replace(bh_deep_levels=5), 10) == 0
