@@ -125,9 +125,11 @@ def _bench_baseline_config(idx: int) -> dict:
         return {"metric": "config4 all-pairs pairs/s at N=1M (1 chip)",
                 "value": out["pairs_per_second"], "unit": "pairs/s",
                 "vs_baseline": out["pairs_per_second"] / BASELINE_PAIRS_PER_SEC}
-    if idx == 5:   # 4M galaxy merger via the tree code
+    if idx == 5:   # 4M galaxy merger via the tree code (+deep chain: the
+        #            merger nuclei overflow any feasible bucket grid)
         out = measure_step_throughput(
             1 << 22, reps=3, scene="galaxy_merger", force_backend="bh",
+            bh_deep_levels=-1,
             integrator="leapfrog_kdk", enable_collisions=False, dt=0.05)
         return {"metric": "config5 galaxy-merger steps/s at N=4M (BH, 1 chip)",
                 "value": out["steps_per_second"], "unit": "steps/s",

@@ -72,7 +72,7 @@ class Simulation:
 
         exceeded = False
         backend = resolve_backend(self.config, self.state.n, self.state.dim)
-        deep_on = self.state.dim == 2 and self.config.bh_deep_levels != 0
+        deep_on = self.config.bh_deep_levels != 0
         if backend == "bh" and not deep_on:
             # With the deep-overflow chain active, overflow is covered
             # (tree-PM regime) — no residual cap to exceed.

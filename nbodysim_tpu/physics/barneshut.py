@@ -1014,15 +1014,17 @@ _MAX_DEEP_2D = 13   # 8192^2 moment grid = 1.6 GB f32; 2^14 would be 6.4 GB
 
 def _resolve_deep_levels(config: SimConfig, levels: int) -> int:
     """Deep-overflow chain depth. 0 disables; >0 is explicit; -1 (auto)
-    descends 3 levels past the buckets (64x the per-cell resolution),
-    capped by the HBM-feasible grid. The occupancy probe in
+    descends 2 levels past the buckets (16x the per-cell resolution),
+    capped by the HBM-feasible grid (levels+3 at N=4M OOMs the 16 GB
+    chip: ~2.4 GB locals + 2.4 GB upsample temps + grids at 8192^2 on
+    top of the bucket structures). The occupancy probe in
     forces.resolve_config_for_state turns auto ON only for scenes whose
     clustering exceeds the bucket+residual capacity."""
     d = config.bh_deep_levels
     if d == 0:
         return 0
     if d < 0:
-        d = levels + 3
+        d = levels + 2
     return max(levels + 1, min(d, _MAX_DEEP_2D)) if d > levels else 0
 
 

@@ -638,12 +638,14 @@ def _bucket_stencil3(bx, by, bz, bm, rr: int, eps_sq,
 
 def _near_field_buckets3(pos, mass, ci, flat, levels: int, eps_sq, g_const,
                          cap: int, radius: int,
-                         use_pallas: bool = False, interpret: bool = False):
+                         use_pallas: bool = False, interpret: bool = False,
+                         skip_residual: bool = False):
     """Particle-particle near field on a dense [r, r, r, cap] bucket grid.
 
     Returns (acc [N, 3], overflow_count). Same slot/overflow machinery as
     the 2D version (barneshut.py:_near_field_buckets); on the Pallas path
-    particles scatter straight into the kernel's slot-major flat layout."""
+    particles scatter straight into the kernel's slot-major flat layout.
+    skip_residual drops the overflow residual (deep chain covers it)."""
     n = pos.shape[0]
     res = 1 << levels
 
@@ -736,7 +738,9 @@ def _near_field_buckets3(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     # Tiered like the 2D residual (barneshut.py): mild overflow takes the
     # cheap pass, only genuinely clustered frames pay the full-cap one.
     m_small = min(n, _OVERFLOW_SMALL)
-    if m_small < m_cap:
+    if skip_residual:
+        pass
+    elif m_small < m_cap:
         acc_s = lax.cond(
             overflow > m_small, residual(m_cap),
             lambda a: lax.cond(overflow > 0, residual(m_small),
@@ -749,12 +753,101 @@ def _near_field_buckets3(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     return g_const * acc_s[inv_order], overflow
 
 
+def _deep_near_aggregates3(pos, payload, g10_deep, ci_deep, eps_sq, s_d,
+                           rr: int):
+    """3D smoothed-aggregate near field of the deep-overflow path (the 3D
+    instance of barneshut._deep_near_aggregates — see its docstring for
+    the Plummer-cloud smoothing rationale). Returns [N, 3]."""
+    from nbodysim_tpu.physics.barneshut import _DEEP_SMOOTH
+
+    eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
+    r_d = g10_deep.shape[0]
+    gp = jnp.pad(g10_deep, ((rr, rr), (rr, rr), (rr, rr), (0, 0))
+                 ).reshape(-1, 10)
+    side = r_d + 2 * rr
+    ix = ci_deep[:, 0] + rr
+    iy = ci_deep[:, 1] + rr
+    iz = ci_deep[:, 2] + rr
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    ax = jnp.zeros_like(px)
+    ay = jnp.zeros_like(py)
+    az = jnp.zeros_like(pz)
+    for ox in range(-rr, rr + 1):
+        for oy in range(-rr, rr + 1):
+            for oz in range(-rr, rr + 1):
+                ch = gp[((ix + ox) * side + (iy + oy)) * side + (iz + oz)]
+                if ox == 0 and oy == 0 and oz == 0:
+                    ch = ch - payload
+                m = ch[:, 0]
+                safe_m = jnp.where(m > 0, m, 1.0)
+                cx = ch[:, 1] / safe_m
+                cy = ch[:, 2] / safe_m
+                cz = ch[:, 3] / safe_m
+                qxx = ch[:, 4] - m * cx * cx
+                qxy = ch[:, 5] - m * cx * cy
+                qxz = ch[:, 6] - m * cx * cz
+                qyy = ch[:, 7] - m * cy * cy
+                qyz = ch[:, 8] - m * cy * cz
+                qzz = ch[:, 9] - m * cz * cz
+                dx = cx - px
+                dy = cy - py
+                dz = cz - pz
+                q = dx * dx + dy * dy + dz * dz + eps_sq
+                inv = lax.rsqrt(q)
+                inv3 = inv * inv * inv
+                inv5 = inv3 * inv * inv
+                inv7 = inv5 * inv * inv
+                w3 = m * inv3
+                u7 = 15.0 * inv7
+                u5 = 3.0 * inv5
+                txxx = u7 * dx * dx * dx - 3.0 * u5 * dx
+                txxy = u7 * dx * dx * dy - u5 * dy
+                txxz = u7 * dx * dx * dz - u5 * dz
+                txyy = u7 * dx * dy * dy - u5 * dx
+                txyz = u7 * dx * dy * dz
+                txzz = u7 * dx * dz * dz - u5 * dx
+                tyyy = u7 * dy * dy * dy - 3.0 * u5 * dy
+                tyyz = u7 * dy * dy * dz - u5 * dz
+                tyzz = u7 * dy * dz * dz - u5 * dy
+                tzzz = u7 * dz * dz * dz - 3.0 * u5 * dz
+                ax = ax + w3 * dx + 0.5 * (
+                    qxx * txxx + qyy * txyy + qzz * txzz
+                    + 2.0 * (qxy * txxy + qxz * txxz + qyz * txyz))
+                ay = ay + w3 * dy + 0.5 * (
+                    qxx * txxy + qyy * tyyy + qzz * tyzz
+                    + 2.0 * (qxy * txyy + qxz * txyz + qyz * tyyz))
+                az = az + w3 * dz + 0.5 * (
+                    qxx * txxz + qyy * tyyz + qzz * tzzz
+                    + 2.0 * (qxy * txyz + qxz * txzz + qyz * tyzz))
+    return jnp.stack([ax, ay, az], axis=-1)
+
+
+def _l2p_eval3(local, ci, pos, corner, size, level: int):
+    """Second-order L2P at each particle, one fused [19, N] gather.
+    Returns [N, 3], un-scaled by g_const."""
+    res = 1 << level
+    s_l = size / res
+    cellx, celly, cellz = ci[:, 0], ci[:, 1], ci[:, 2]
+    centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
+    centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
+    centz = corner[2] + (cellz.astype(pos.dtype) + 0.5) * s_l
+    dxp = pos[:, 0] - centx
+    dyp = pos[:, 1] - centy
+    dzp = pos[:, 2] - centz
+    loc19 = jnp.stack(local, axis=0).reshape(19, res * res * res)
+    g = loc19[:, (cellx * res + celly) * res + cellz]          # [19, N]
+    ev = _taylor_eval3(tuple(g[i] for i in range(19)), dxp, dyp, dzp)
+    return jnp.stack(ev[:3], axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
                                              "near_cap", "radius",
-                                             "nf_pallas", "interpret"))
+                                             "nf_pallas", "interpret",
+                                             "deep_levels"))
 def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                        near_cap: int, radius: int,
-                       nf_pallas: bool = False, interpret: bool = False):
+                       nf_pallas: bool = False, interpret: bool = False,
+                       deep_levels: int = 0):
     n = pos.shape[0]
     ext = _extract_heavy_outliers(pos, mass)
     is_heavy, h_pos, h_mass = ext["is_heavy"], ext["h_pos"], ext["h_mass"]
@@ -775,8 +868,18 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
 
     tree_mass = ext["tree_mass"]
     bulk_pos = ext["bulk_pos"]
-    grids, corner, size, ci, flat = _build_pyramid3(
-        bulk_pos, tree_mass, levels)
+    # Deep-overflow mode: see barneshut._bh_accelerations — the 3D
+    # instance of the same tree-PM design.
+    deep = deep_levels if deep_levels > levels else 0
+    build_levels = deep if deep else levels
+    grids, corner, size, ci_f, flat_f = _build_pyramid3(
+        bulk_pos, tree_mass, build_levels)
+    res = 1 << levels
+    if deep:
+        ci = ci_f >> (deep - levels)
+        flat = (ci[:, 0] * res + ci[:, 1]) * res + ci[:, 2]
+    else:
+        ci, flat = ci_f, flat_f
 
     local = None
     for l in range(2, levels + 1):
@@ -787,26 +890,47 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
             s_child = size / (1 << l)
             local = tuple(
                 u + t for u, t in zip(_l2l_upsample3(local, s_child), terms))
+    local_bucket = local
+
+    if deep:
+        for l in range(levels + 1, deep + 1):
+            terms = _m2l_level3(grids[l], corner, size, eps_sq, radius)
+            up = _l2l_upsample3(local, size / (1 << l))
+            local = tuple(u + t for u, t in zip(up, terms))
+        local_deep = local
 
     # L2P: one fused [19, N] gather + Taylor evaluation at the particle.
-    res = 1 << levels
-    s_l = size / res
-    cellx, celly, cellz = ci[:, 0], ci[:, 1], ci[:, 2]
-    centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
-    centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
-    centz = corner[2] + (cellz.astype(pos.dtype) + 0.5) * s_l
-    dxp = pos[:, 0] - centx
-    dyp = pos[:, 1] - centy
-    dzp = pos[:, 2] - centz
-    loc19 = jnp.stack(local, axis=0).reshape(19, res * res * res)
-    g = loc19[:, (cellx * res + celly) * res + cellz]          # [19, N]
-    ev = _taylor_eval3(tuple(g[i] for i in range(19)), dxp, dyp, dzp)
-    far = g_const * jnp.stack(ev[:3], axis=-1)
+    far = g_const * _l2p_eval3(local_bucket, ci, pos, corner, size, levels)
 
     flat_nf = jnp.where(is_out, res * res * res + jnp.arange(n), flat)
     near, overflow = _near_field_buckets3(
         pos, tree_mass, ci, flat_nf, levels, eps_sq, g_const, near_cap,
-        radius, use_pallas=nf_pallas, interpret=interpret)
+        radius, use_pallas=nf_pallas, interpret=interpret,
+        skip_residual=bool(deep))
+
+    if deep:
+        occ = jnp.zeros((res * res * res,), jnp.int32).at[flat_nf].add(
+            1, mode="drop")
+        hot = (occ > near_cap).reshape(res, res, res)
+        rr = radius - 1
+        hotp = jnp.pad(hot, rr)
+        bmask = jnp.zeros((res, res, res), bool)
+        for ox in range(2 * rr + 1):
+            for oy in range(2 * rr + 1):
+                for oz in range(2 * rr + 1):
+                    bmask = bmask | hotp[ox:ox + res, oy:oy + res,
+                                         oz:oz + res]
+        b_par = bmask.reshape(-1)[flat]                        # [N]
+
+        far_deep = g_const * _l2p_eval3(local_deep, ci_f, pos, corner,
+                                        size, deep)
+        payload = _moment_payload3(pos, tree_mass)
+        deep_near = g_const * _deep_near_aggregates3(
+            pos, payload, jnp.stack(grids[deep], axis=-1)
+            if isinstance(grids[deep], tuple) else grids[deep],
+            ci_f, eps_sq, size / (1 << deep), rr=radius - 1)
+        far = jnp.where(b_par[:, None], far_deep, far)
+        near = jnp.where(b_par[:, None], deep_near, near)
 
     acc = jnp.where(is_out[:, None], 0.0,
                     far + near + acc_from_out) + acc_heavy
@@ -854,7 +978,23 @@ def bh3_accelerations(pos: jax.Array, mass: jax.Array,
         pos, mass, levels=levels, eps_sq=float(config.eps_sq),
         g_const=float(config.g_const), near_cap=NEAR_CAP,
         radius=_resolve_radius3(config),
-        nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret)
+        nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret,
+        deep_levels=_resolve_deep_levels3(config, levels))
+
+
+_MAX_DEEP_3D = 8   # 256^3 moment grid = 670 MB f32; 512^3 would be 5.4 GB
+
+
+def _resolve_deep_levels3(config: SimConfig, levels: int) -> int:
+    """3D deep-overflow chain depth (see barneshut._resolve_deep_levels):
+    auto (-1) descends 2 levels past the buckets (64x per-cell occupancy
+    relief), capped at the HBM-feasible 256^3 grid."""
+    d = config.bh_deep_levels
+    if d == 0:
+        return 0
+    if d < 0:
+        d = levels + 2
+    return max(levels + 1, min(d, _MAX_DEEP_3D)) if d > levels else 0
 
 
 def bh3_near_overflow(pos: jax.Array, mass: jax.Array,

@@ -110,10 +110,42 @@ def test_auto_resolution_enables_deep_chain():
         bh._OVERFLOW_CAP = orig_cap
 
 
+def test_deep3d_inert_and_bounded():
+    from nbodysim_tpu.physics import barneshut3d as b3
+
+    n = 2048
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    blob = 40.0 * jax.random.normal(k[0], (n // 2, 3)) + jnp.array(
+        [500.0, -300.0, 200.0])
+    bg = jax.random.uniform(k[2], (n // 2, 3), jnp.float32,
+                            -2000.0, 2000.0)
+    pos = jnp.concatenate([blob, bg]).astype(jnp.float32)
+    mass = jax.random.uniform(k[3], (n,), jnp.float32, 0.1, 10.0)
+    a_d = np.asarray(direct_accelerations(pos, mass, eps_sq=EPS_SQ,
+                                          g_const=1.0))
+    a = np.asarray(b3._bh3_accelerations(
+        pos, mass, levels=4, eps_sq=EPS_SQ, g_const=1.0,
+        near_cap=16, radius=2, deep_levels=6))
+    assert np.isfinite(a).all()
+    rel = (np.linalg.norm(a - a_d, axis=1)
+           / (np.linalg.norm(a_d, axis=1) + 1e-12))
+    assert np.median(rel[n // 2:]) < 3e-2       # background: exact-tier
+    fmag = np.linalg.norm(a, axis=1)
+    assert fmag.max() < 10.0 * np.linalg.norm(a_d, axis=1).max()
+
+    # uniform scene: the deep branch must select nothing
+    k1, _ = jax.random.split(jax.random.PRNGKey(0))
+    posu = jax.random.uniform(k1, (n, 3), jnp.float32, -2000.0, 2000.0)
+    kw = dict(levels=4, eps_sq=EPS_SQ, g_const=1.0, near_cap=16, radius=2)
+    a0 = np.asarray(b3._bh3_accelerations(posu, mass, deep_levels=0, **kw))
+    a1 = np.asarray(b3._bh3_accelerations(posu, mass, deep_levels=6, **kw))
+    assert np.allclose(a0, a1, rtol=1e-4, atol=1e-6)
+
+
 def test_resolve_deep_levels():
     cfg = SimConfig(n=1024)
     assert bh._resolve_deep_levels(cfg, 10) == 0
-    assert bh._resolve_deep_levels(cfg.replace(bh_deep_levels=-1), 10) == 13
+    assert bh._resolve_deep_levels(cfg.replace(bh_deep_levels=-1), 10) == 12
     assert bh._resolve_deep_levels(cfg.replace(bh_deep_levels=12), 10) == 12
     # shallower-than-bucket request disables
     assert bh._resolve_deep_levels(cfg.replace(bh_deep_levels=5), 10) == 0
