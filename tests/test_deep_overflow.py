@@ -142,6 +142,38 @@ def test_deep3d_inert_and_bounded():
     assert np.allclose(a0, a1, rtol=1e-4, atol=1e-6)
 
 
+def test_deep_rollout_stable():
+    """Dynamic contract: a collapsing clustered scene stepped with the
+    deep chain stays finite with bounded energy drift (the old residual
+    overflow injected unbounded one-sided forces here)."""
+    from nbodysim_tpu.core.state import ParticleState
+    from nbodysim_tpu.diagnostics.metrics import diagnostics
+    from nbodysim_tpu.physics.integrators import (
+        make_rollout, prime_accelerations)
+
+    n = 2048
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    blob = 60.0 * jax.random.normal(k[0], (n // 2, 2)) + jnp.array(
+        [1500.0, -700.0])
+    bg = jax.random.uniform(k[2], (n // 2, 2), jnp.float32,
+                            -4000.0, 4000.0)
+    pos = jnp.concatenate([blob, bg])
+    vel = 0.1 * jax.random.normal(k[1], (n, 2))
+    cfg = SimConfig(n=n, dt=0.05, force_backend="bh", bh_levels=4,
+                    bh_deep_levels=7, integrator="leapfrog_kdk",
+                    enable_collisions=False, enable_boundary=False,
+                    enable_velocity_clamp=False, softening=5.0)
+    state = prime_accelerations(
+        ParticleState.create(pos=pos, vel=vel, mass=jnp.ones((n,))), cfg)
+    e0 = float(diagnostics(state, cfg).total_energy)
+    out = make_rollout(cfg, 300)(state)
+    assert bool(jnp.all(jnp.isfinite(out.pos)))
+    e1 = float(diagnostics(out, cfg).total_energy)
+    # measured -1.7e-2 at 300 steps (PM-smoothed forces approximate a
+    # smoothed Hamiltonian; KDK stays bounded on it)
+    assert abs(e1 - e0) / abs(e0) < 5e-2, (e0, e1)
+
+
 def test_resolve_deep_levels():
     cfg = SimConfig(n=1024)
     assert bh._resolve_deep_levels(cfg, 10) == 0
