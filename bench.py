@@ -1,15 +1,15 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
 Headline: pairwise interactions/sec/chip for the all-pairs force kernel at
-N=65,536 (BASELINE.json north star: >= 1e11 at N=1M on one v5e chip;
-vs_baseline is measured/1e11). The eval chain runs under a single lax.scan
-dispatch because block_until_ready over the axon tunnel does not reliably
-block — per-call timing measures dispatch latency, not the kernel.
+N=1,048,576 — the exact metric BASELINE.json names (>= 1e11 at N=1M on one
+v5e chip; vs_baseline is measured/1e11). A secondary N=65,536 line follows
+(the driver consumes only the first). The eval chain runs under a single
+lax.scan dispatch because block_until_ready over the axon tunnel does not
+reliably block — per-call timing measures dispatch latency, not the kernel.
 
 Usage: python bench.py [--n N] [--reps R] [--full]
   --full also reports fused-step throughput (forces+integrate+collide) and
-  the N=1M kernel rate as extra JSON lines (the driver consumes only the
-  first line).
+  tree-code rates as extra JSON lines.
 """
 
 from __future__ import annotations
@@ -139,8 +139,10 @@ def _bench_baseline_config(idx: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=65536)
-    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--n", type=int, default=1 << 20)
+    ap.add_argument("--reps", type=int, default=None,
+                    help="evals chained per lap (default: 3 at N>=512k, "
+                         "10 below)")
     ap.add_argument("--full", action="store_true")
     ap.add_argument("--config", type=int, default=None,
                     help="run a BASELINE.json config preset (1-5)")
@@ -150,28 +152,30 @@ def main():
         print(json.dumps(_bench_baseline_config(args.config)))
         return
 
-    rate = _bench_kernel(args.n, args.reps)
+    reps = args.reps if args.reps else (3 if args.n >= (1 << 19) else 10)
+    rate = _bench_kernel(args.n, reps)
     print(json.dumps({
         "metric": f"pairwise interactions/sec/chip (all-pairs kernel, N={args.n})",
         "value": rate,
         "unit": "pairs/s",
         "vs_baseline": rate / BASELINE_PAIRS_PER_SEC,
     }))
+    if args.n != 65536:
+        rate_64k = _bench_kernel(65536, 10)
+        print(json.dumps({
+            "metric": "pairwise interactions/sec/chip (all-pairs kernel, N=65536)",
+            "value": rate_64k,
+            "unit": "pairs/s",
+            "vs_baseline": rate_64k / BASELINE_PAIRS_PER_SEC,
+        }))
 
     if args.full:
-        sps = _bench_step(25_000, args.reps)
+        sps = _bench_step(25_000, 10)
         print(json.dumps({
             "metric": "fused steps/sec (N=25000 reference config)",
             "value": sps,
             "unit": "steps/s",
             "vs_baseline": None,
-        }))
-        rate_1m = _bench_kernel(1 << 20, 2)
-        print(json.dumps({
-            "metric": "pairwise interactions/sec/chip (N=1M)",
-            "value": rate_1m,
-            "unit": "pairs/s",
-            "vs_baseline": rate_1m / BASELINE_PAIRS_PER_SEC,
         }))
         from nbodysim_tpu.diagnostics.profiling import measure_force_throughput
 
