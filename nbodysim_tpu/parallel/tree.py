@@ -50,13 +50,16 @@ from nbodysim_tpu.physics.barneshut import (
     _OVERFLOW_CAP,
     _bounding_square,
     _bucket_stencil_dispatch,
+    _deep_near_aggregates,
     _extract_heavy_outliers,
     _l2l_upsample,
     _m2l_conv,
     _m2l_level,
     _m2l_stencil,
+    _moment_payload,
     _near_masked_blocked,
     _nf_use_pallas,
+    _resolve_deep_levels,
     _resolve_levels,
     _resolve_radius,
     heavy_coupling,
@@ -93,7 +96,8 @@ def banded_tree_accelerations(
         pos, mass, pos_l, levels=levels, radius=radius,
         eps_sq=float(config.eps_sq), g_const=float(config.g_const),
         near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name,
-        nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret)
+        nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret,
+        deep_levels=_resolve_deep_levels(config, levels))
 
 
 def _halo_window(band, p: int, p_dev: int, axis_name: str):
@@ -117,17 +121,26 @@ def _halo_window(band, p: int, p_dev: int, axis_name: str):
 
 def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                  near_cap, p_dev, n_l, axis_name,
-                 nf_pallas=False, interpret=False):
+                 nf_pallas=False, interpret=False, deep_levels=0):
     from nbodysim_tpu.core.blocking import sorted_first_occurrence
     from nbodysim_tpu.physics.forces import direct_accelerations
 
     n = pos.shape[0]
     my = lax.axis_index(axis_name)
     res = 1 << levels
-    rb = res // p_dev              # finest band rows
+    rb = res // p_dev              # finest bucket-level band rows
     p = 2 * radius - 1             # M2L halo rows
     rr = radius - 1                # near-field halo rows
     row0 = my * rb
+    # Deep-overflow chain (barneshut._bh_accelerations deep mode) under
+    # banding: the pyramid extends past the bucket level; the deep levels
+    # band exactly like the bucket levels (their rows are rows too, with
+    # P x more of them), and hot-window targets take the deep path.
+    deep = deep_levels if deep_levels > levels else 0
+    build_levels = deep if deep else levels
+    res_b = 1 << build_levels      # finest build resolution
+    rb_b = res_b // p_dev
+    row0_b = my * rb_b
 
     ext = _extract_heavy_outliers(pos, mass)
     is_out, out_i, out_sel = ext["is_out"], ext["out_i"], ext["out_sel"]
@@ -135,29 +148,30 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
 
     corner, size = _bounding_square(bulk_pos)
     u = (bulk_pos - corner) / size
-    ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)   # [N, 2]
+    ci_f = jnp.clip((u * res_b).astype(jnp.int32), 0, res_b - 1)  # [N, 2]
+    ci = ci_f >> (build_levels - levels) if deep else ci_f
     flat = ci[:, 0] * res + ci[:, 1]
 
     # ---------------- pyramid: banded build + coarse replication --------
     # Scatter the 6 raw moment fields of ALL particles into my band's rows
-    # as one fused [N, 6]-payload scatter (out-of-band indices drop); pool
-    # up while the band can still host a halo; all_gather the coarsest
-    # sharded level (tiny) and pool the replicated remainder.
-    from nbodysim_tpu.physics.barneshut import _moment_payload
+    # at the finest BUILD level as one fused [N, 6]-payload scatter
+    # (out-of-band indices drop); pool up while the band can still host a
+    # halo; all_gather the coarsest sharded level (tiny) and pool the
+    # replicated remainder.
+    wrow = ci_f[:, 0] - row0_b
+    in_rows = (wrow >= 0) & (wrow < rb_b)
+    bflat = jnp.where(in_rows, wrow * res_b + ci_f[:, 1],
+                      rb_b * res_b)                          # OOB drops
 
-    wrow = ci[:, 0] - row0
-    in_rows = (wrow >= 0) & (wrow < rb)
-    bflat = jnp.where(in_rows, wrow * res + ci[:, 1], rb * res)  # OOB drops
-
-    shard_levels = [l for l in range(2, levels + 1)
+    shard_levels = [l for l in range(2, build_levels + 1)
                     if (1 << l) % p_dev == 0 and (1 << l) // p_dev >= p]
-    ls = min(shard_levels)         # contiguous {ls..levels} by monotonicity
+    ls = min(shard_levels)         # contiguous {ls..build} by monotonicity
 
-    g6 = (jnp.zeros((rb * res, 6), pos.dtype)
+    g6 = (jnp.zeros((rb_b * res_b, 6), pos.dtype)
           .at[bflat].add(_moment_payload(bulk_pos, tree_mass), mode="drop")
-          .reshape(rb, res, 6))
-    band_grids = {levels: tuple(g6[:, :, i] for i in range(6))}
-    for l in range(levels - 1, ls - 1, -1):
+          .reshape(rb_b, res_b, 6))
+    band_grids = {build_levels: tuple(g6[:, :, i] for i in range(6))}
+    for l in range(build_levels - 1, ls - 1, -1):
         r_l = 1 << l
         rb_l = r_l // p_dev
         band_grids[l] = tuple(
@@ -182,7 +196,8 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
             up = _l2l_upsample(local, size / (1 << l))
             local = tuple(u + t for u, t in zip(up, terms))
 
-    for l in range(ls, levels + 1):              # banded levels
+    local_bucket = None
+    for l in range(ls, build_levels + 1):        # banded levels
         r_l = 1 << l
         rb_l = r_l // p_dev
         row0_l = my * rb_l
@@ -214,6 +229,10 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         else:
             up = _l2l_upsample(local, size / r_l)
             local = tuple(u + t for u, t in zip(up, terms))
+        if l == levels:
+            local_bucket = local                 # snapshot the bucket level
+    local_deep = local if deep else None
+    local = local_bucket
 
     # ---------------- L2P on band particles (one fused 9-term gather) ---
     s_l = size / res
@@ -334,10 +353,59 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                                      eps_sq, rr)
         return acc_s.at[o_idx].add(jnp.where(o_band[:, None], o_acc, 0.0))
 
-    acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
+    if not deep:   # the deep path covers overflow targets instead
+        acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
 
     inv_order = jnp.zeros_like(order).at[order].set(jnp.arange(n))
     contrib = contrib + g_const * acc_s[inv_order]
+
+    # ---------------- deep-overflow path (banded) -----------------------
+    # Identical target selection to the single chip (occupancy over the
+    # full bucket grid is replicated O(res^2) bookkeeping); the deep L2P
+    # and the smoothed (2rr+1)^2 deep-cell aggregates run on band rows
+    # only, with an rr-row ppermute halo for the aggregate window.
+    if deep:
+        occ = jnp.zeros((res * res,), jnp.int32).at[flat_nf].add(
+            1, mode="drop")
+        hot = (occ > near_cap).reshape(res, res)
+        hotp = jnp.pad(hot, rr)
+        bmask = jnp.zeros((res, res), bool)
+        for ox in range(2 * rr + 1):
+            for oy in range(2 * rr + 1):
+                bmask = bmask | hotp[ox:ox + res, oy:oy + res]
+        b_par = bmask.reshape(-1)[flat]                        # [N]
+
+        # Deep L2P on band particles (band rows at the deep level align
+        # with the bucket-level bands: row_deep >> (deep-levels) = row).
+        s_d = size / res_b
+        lrow_d = jnp.clip(ci_f[:, 0] - row0_b, 0, rb_b - 1)
+        centx_d = corner[0] + (ci_f[:, 0].astype(pos.dtype) + 0.5) * s_d
+        centy_d = corner[1] + (ci_f[:, 1].astype(pos.dtype) + 0.5) * s_d
+        dxd = pos[:, 0] - centx_d
+        dyd = pos[:, 1] - centy_d
+        locd = jnp.stack(local_deep, axis=0).reshape(9, rb_b * res_b)
+        gd = locd[:, lrow_d * res_b + ci_f[:, 1]]              # [9, N]
+        (fx_d, fy_d, jxx_d, jxy_d, jyy_d,
+         hxxx_d, hxxy_d, hxyy_d, hyyy_d) = (gd[i] for i in range(9))
+        fdx = (fx_d + jxx_d * dxd + jxy_d * dyd
+               + 0.5 * (hxxx_d * dxd * dxd + 2 * hxxy_d * dxd * dyd
+                        + hxyy_d * dyd * dyd))
+        fdy = (fy_d + jxy_d * dxd + jyy_d * dyd
+               + 0.5 * (hxxy_d * dxd * dxd + 2 * hxyy_d * dxd * dyd
+                        + hyyy_d * dyd * dyd))
+        far_deep = g_const * jnp.stack([fdx, fdy], axis=-1)
+
+        # Smoothed deep-cell aggregates over a band+halo window (halo rows
+        # real ring-neighbor data — the single-chip zero pad appears only
+        # at the global boundary, matching its jnp.pad semantics).
+        win6 = _halo_window(band_grids[build_levels], rr, p_dev, axis_name)
+        gp = jnp.stack(win6, axis=-1)    # [rb_b + 2rr, res_b + 2rr, 6]
+        payload = _moment_payload(pos, tree_mass)
+        deep_near = g_const * _deep_near_aggregates(
+            pos, payload, gp, ci_f, eps_sq, s_d, rr, row0=row0_b)
+
+        deep_part = jnp.where(in_band[:, None], far_deep + deep_near, 0.0)
+        contrib = jnp.where((b_par & in_band)[:, None], deep_part, contrib)
 
     # ---------------- exact forces ON outliers (index-range sharded) ----
     k_out = out_i.shape[0]

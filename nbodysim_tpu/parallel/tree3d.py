@@ -32,11 +32,13 @@ from nbodysim_tpu.physics.barneshut import (
 from nbodysim_tpu.physics.barneshut3d import (
     _bounding_cube,
     _bucket_stencil3,
+    _deep_near_aggregates3,
     _l2l_upsample3,
     _m2l_conv3,
     _m2l_level3,
     _m2l_stencil3,
     _moment_payload3,
+    _resolve_deep_levels3,
     _resolve_levels3,
     _resolve_radius3,
     _taylor_eval3,
@@ -75,7 +77,8 @@ def banded_tree3_accelerations(
         eps_sq=float(config.eps_sq), g_const=float(config.g_const),
         near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name,
         nf_pallas=_nf_use_pallas(config),
-        interpret=config.pallas_interpret)
+        interpret=config.pallas_interpret,
+        deep_levels=_resolve_deep_levels3(config, levels))
 
 
 def _halo_window3(band, p: int, p_dev: int, axis_name: str):
@@ -99,17 +102,26 @@ def _halo_window3(band, p: int, p_dev: int, axis_name: str):
 
 def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                   near_cap, p_dev, n_l, axis_name,
-                  nf_pallas=False, interpret=False):
+                  nf_pallas=False, interpret=False, deep_levels=0):
     from nbodysim_tpu.core.blocking import sorted_first_occurrence
     from nbodysim_tpu.physics.forces import direct_accelerations
 
     n = pos.shape[0]
     my = lax.axis_index(axis_name)
     res = 1 << levels
-    rb = res // p_dev              # finest band x-slabs
+    rb = res // p_dev              # finest bucket-level band x-slabs
     p = 2 * radius - 1             # M2L halo slabs
     rr = radius - 1                # near-field halo slabs
     row0 = my * rb
+    # Deep-overflow chain under banding (3D instance of parallel/tree.py's
+    # scheme): the octree pyramid extends past the bucket level; the deep
+    # levels band exactly like the bucket levels, and hot-window targets
+    # take the deep path.
+    deep = deep_levels if deep_levels > levels else 0
+    build_levels = deep if deep else levels
+    res_b = 1 << build_levels      # finest build resolution
+    rb_b = res_b // p_dev
+    row0_b = my * rb_b
 
     ext = _extract_heavy_outliers(pos, mass)
     is_out, out_i, out_sel = ext["is_out"], ext["out_i"], ext["out_sel"]
@@ -117,29 +129,31 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
 
     corner, size = _bounding_cube(bulk_pos)
     u = (bulk_pos - corner) / size
-    ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)   # [N, 3]
+    ci_f = jnp.clip((u * res_b).astype(jnp.int32), 0, res_b - 1)  # [N, 3]
+    ci = ci_f >> (build_levels - levels) if deep else ci_f
     flat = (ci[:, 0] * res + ci[:, 1]) * res + ci[:, 2]
 
     # ---------------- pyramid: banded build + coarse replication --------
     # One fused [N, 10]-payload scatter of ALL particles into my band's
-    # slabs (out-of-band indices drop); pool up while the band can still
-    # host a halo; all_gather the coarsest sharded level (tiny) and pool
-    # the replicated remainder.
-    wrow = ci[:, 0] - row0
-    in_rows = (wrow >= 0) & (wrow < rb)
-    bflat = jnp.where(in_rows, (wrow * res + ci[:, 1]) * res + ci[:, 2],
-                      rb * res * res)                        # OOB drops
+    # slabs at the finest BUILD level (out-of-band indices drop); pool up
+    # while the band can still host a halo; all_gather the coarsest
+    # sharded level (tiny) and pool the replicated remainder.
+    wrow = ci_f[:, 0] - row0_b
+    in_rows = (wrow >= 0) & (wrow < rb_b)
+    bflat = jnp.where(in_rows,
+                      (wrow * res_b + ci_f[:, 1]) * res_b + ci_f[:, 2],
+                      rb_b * res_b * res_b)                  # OOB drops
 
-    shard_levels = [l for l in range(2, levels + 1)
+    shard_levels = [l for l in range(2, build_levels + 1)
                     if (1 << l) % p_dev == 0 and (1 << l) // p_dev >= p]
-    ls = min(shard_levels)         # contiguous {ls..levels} by monotonicity
+    ls = min(shard_levels)         # contiguous {ls..build} by monotonicity
 
-    g10 = (jnp.zeros((rb * res * res, 10), pos.dtype)
+    g10 = (jnp.zeros((rb_b * res_b * res_b, 10), pos.dtype)
            .at[bflat].add(_moment_payload3(bulk_pos, tree_mass),
                           mode="drop")
-           .reshape(rb, res, res, 10))
-    band_grids = {levels: tuple(g10[..., i] for i in range(10))}
-    for l in range(levels - 1, ls - 1, -1):
+           .reshape(rb_b, res_b, res_b, 10))
+    band_grids = {build_levels: tuple(g10[..., i] for i in range(10))}
+    for l in range(build_levels - 1, ls - 1, -1):
         r_l = 1 << l
         rb_l = r_l // p_dev
         band_grids[l] = tuple(
@@ -167,7 +181,8 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
             up = _l2l_upsample3(local, size / (1 << l))
             local = tuple(u + t for u, t in zip(up, terms))
 
-    for l in range(ls, levels + 1):              # banded levels
+    local_bucket = None
+    for l in range(ls, build_levels + 1):        # banded levels
         r_l = 1 << l
         rb_l = r_l // p_dev
         row0_l = my * rb_l
@@ -199,6 +214,10 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         else:
             up = _l2l_upsample3(local, size / r_l)
             local = tuple(u + t for u, t in zip(up, terms))
+        if l == levels:
+            local_bucket = local                 # snapshot the bucket level
+    local_deep = local if deep else None
+    local = local_bucket
 
     # ---------------- L2P on band particles (one fused 19-term gather) --
     s_l = size / res
@@ -318,10 +337,56 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                                      eps_sq, rr)
         return acc_s.at[o_idx].add(jnp.where(o_band[:, None], o_acc, 0.0))
 
-    acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
+    if not deep:   # the deep path covers overflow targets instead
+        acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
 
     inv_order = jnp.zeros_like(order).at[order].set(jnp.arange(n))
     contrib = contrib + g_const * acc_s[inv_order]
+
+    # ---------------- deep-overflow path (banded) -----------------------
+    # Identical target selection to the single chip (occupancy over the
+    # full bucket grid is replicated bookkeeping); the deep L2P and the
+    # smoothed (2rr+1)^3 deep-cell aggregates run on band slabs only, with
+    # an rr-slab ppermute halo for the aggregate window.
+    if deep:
+        occ = jnp.zeros((res * res * res,), jnp.int32).at[flat_nf].add(
+            1, mode="drop")
+        hot = (occ > near_cap).reshape(res, res, res)
+        hotp = jnp.pad(hot, rr)
+        bmask = jnp.zeros((res, res, res), bool)
+        for ox in range(2 * rr + 1):
+            for oy in range(2 * rr + 1):
+                for oz in range(2 * rr + 1):
+                    bmask = bmask | hotp[ox:ox + res, oy:oy + res,
+                                         oz:oz + res]
+        b_par = bmask.reshape(-1)[flat]                        # [N]
+
+        # Deep L2P on band particles (deep bands align with bucket bands).
+        s_d = size / res_b
+        lrow_d = jnp.clip(ci_f[:, 0] - row0_b, 0, rb_b - 1)
+        centx_d = corner[0] + (ci_f[:, 0].astype(pos.dtype) + 0.5) * s_d
+        centy_d = corner[1] + (ci_f[:, 1].astype(pos.dtype) + 0.5) * s_d
+        centz_d = corner[2] + (ci_f[:, 2].astype(pos.dtype) + 0.5) * s_d
+        locd = jnp.stack(local_deep, axis=0).reshape(19, rb_b * res_b**2)
+        gdi = (lrow_d * res_b + ci_f[:, 1]) * res_b + ci_f[:, 2]
+        gd = locd[:, gdi]                                      # [19, N]
+        evd = _taylor_eval3(tuple(gd[i] for i in range(19)),
+                            pos[:, 0] - centx_d, pos[:, 1] - centy_d,
+                            pos[:, 2] - centz_d)
+        far_deep = g_const * jnp.stack(evd[:3], axis=-1)
+
+        # Smoothed deep-cell aggregates over a band+halo window (halo
+        # slabs real ring-neighbor data — the single-chip zero pad appears
+        # only at the global boundary, matching its jnp.pad semantics).
+        win10 = _halo_window3(band_grids[build_levels], rr, p_dev,
+                              axis_name)
+        gpw = jnp.stack(win10, axis=-1)  # [rb_b+2rr, res_b+2rr, .., 10]
+        payload = _moment_payload3(pos, tree_mass)
+        deep_near = g_const * _deep_near_aggregates3(
+            pos, payload, gpw, ci_f, eps_sq, s_d, rr, row0=row0_b)
+
+        deep_part = jnp.where(in_band[:, None], far_deep + deep_near, 0.0)
+        contrib = jnp.where((b_par & in_band)[:, None], deep_part, contrib)
 
     # ---------------- exact forces ON outliers (index-range sharded) ----
     k_out = out_i.shape[0]

@@ -741,12 +741,17 @@ _DEEP_SMOOTH = 0.09   # (0.3 s_d)^2: near-window cells act as Plummer
                       # clouds of width ~0.3 cell — see docstring
 
 
-def _deep_near_aggregates(pos, payload, g6_deep, ci_deep, eps_sq, s_d,
-                          rr: int):
+def _deep_near_aggregates(pos, payload, gp, ci_deep, eps_sq, s_d,
+                          rr: int, row0=0):
     """Smoothed-aggregate near field of the deep-overflow path: the
     (2rr+1)^2 deepest-level cell aggregates evaluated at each particle.
 
-    g6_deep: [rD, rD, 6] raw moment grid at the deep level. payload:
+    gp: [rows + 2rr, cols + 2rr, 6] PRE-PADDED raw moment window at the
+    deep level — the full grid padded with rr zeros on the single chip, or
+    a row band whose rr halo rows hold real ring-neighbor data in the
+    banded multi-chip path (parallel/tree.py). `row0` is the global deep
+    row of the window's first REAL (non-halo) row; out-of-window targets
+    gather clipped rows and must be masked by the caller. payload:
     [N, 6] each particle's own raw moment row (subtracted from its home
     cell so a particle never feels its own moment). Each cell is a
     monopole-at-COM + quadrupole source — evaluated with the softening
@@ -760,9 +765,10 @@ def _deep_near_aggregates(pos, payload, g6_deep, ci_deep, eps_sq, s_d,
     matches a Plummer sphere's half-mass radius to a uniform cell's.
     Returns [N, 2] (un-multiplied by g_const)."""
     eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
-    r_d = g6_deep.shape[0]
-    gp = jnp.pad(g6_deep, ((rr, rr), (rr, rr), (0, 0))).reshape(-1, 6)
-    row = ci_deep[:, 0] + rr
+    rows = gp.shape[0] - 2 * rr
+    r_d = gp.shape[1] - 2 * rr
+    gp = gp.reshape(-1, 6)
+    row = jnp.clip(ci_deep[:, 0] - row0, 0, rows - 1) + rr
     col = ci_deep[:, 1] + rr
     px, py = pos[:, 0], pos[:, 1]
     ax = jnp.zeros_like(px)
@@ -909,9 +915,12 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
         far_deep = g_const * _l2p_eval(local_deep, ci_f, pos, corner,
                                        size, deep)
         payload = _moment_payload(pos, mass)
+        rrd = radius - 1
+        g6_pad = jnp.pad(jnp.stack(grids[deep], axis=-1),
+                         ((rrd, rrd), (rrd, rrd), (0, 0)))
         deep_near = g_const * _deep_near_aggregates(
-            pos, payload, jnp.stack(grids[deep], axis=-1), ci_f, eps_sq,
-            size / (1 << deep), rr=radius - 1)
+            pos, payload, g6_pad, ci_f, eps_sq,
+            size / (1 << deep), rr=rrd)
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)
 

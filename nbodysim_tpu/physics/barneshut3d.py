@@ -753,19 +753,24 @@ def _near_field_buckets3(pos, mass, ci, flat, levels: int, eps_sq, g_const,
     return g_const * acc_s[inv_order], overflow
 
 
-def _deep_near_aggregates3(pos, payload, g10_deep, ci_deep, eps_sq, s_d,
-                           rr: int):
+def _deep_near_aggregates3(pos, payload, gp, ci_deep, eps_sq, s_d,
+                           rr: int, row0=0):
     """3D smoothed-aggregate near field of the deep-overflow path (the 3D
     instance of barneshut._deep_near_aggregates — see its docstring for
-    the Plummer-cloud smoothing rationale). Returns [N, 3]."""
+    the Plummer-cloud smoothing rationale and the pre-padded-window
+    contract). gp: [rows + 2rr, r_d + 2rr, r_d + 2rr, 10] — the full grid
+    zero-padded on the single chip, or an x-slab band whose rr halo slabs
+    hold real ring-neighbor data (parallel/tree3d.py). `row0` is the
+    global deep x-slab of the first REAL window slab; out-of-window
+    targets gather clipped slabs and must be masked by the caller.
+    Returns [N, 3]."""
     from nbodysim_tpu.physics.barneshut import _DEEP_SMOOTH
 
     eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
-    r_d = g10_deep.shape[0]
-    gp = jnp.pad(g10_deep, ((rr, rr), (rr, rr), (rr, rr), (0, 0))
-                 ).reshape(-1, 10)
-    side = r_d + 2 * rr
-    ix = ci_deep[:, 0] + rr
+    rows = gp.shape[0] - 2 * rr
+    side = gp.shape[1]
+    gp = gp.reshape(-1, 10)
+    ix = jnp.clip(ci_deep[:, 0] - row0, 0, rows - 1) + rr
     iy = ci_deep[:, 1] + rr
     iz = ci_deep[:, 2] + rr
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
@@ -925,10 +930,13 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
         far_deep = g_const * _l2p_eval3(local_deep, ci_f, pos, corner,
                                         size, deep)
         payload = _moment_payload3(pos, tree_mass)
+        rrd = radius - 1
+        g10_deep = (jnp.stack(grids[deep], axis=-1)
+                    if isinstance(grids[deep], tuple) else grids[deep])
+        g10_pad = jnp.pad(g10_deep,
+                          ((rrd, rrd), (rrd, rrd), (rrd, rrd), (0, 0)))
         deep_near = g_const * _deep_near_aggregates3(
-            pos, payload, jnp.stack(grids[deep], axis=-1)
-            if isinstance(grids[deep], tuple) else grids[deep],
-            ci_f, eps_sq, size / (1 << deep), rr=radius - 1)
+            pos, payload, g10_pad, ci_f, eps_sq, size / (1 << deep), rr=rrd)
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)
 

@@ -1,0 +1,190 @@
+"""Stage-by-stage breakdown of the config-5 deep-chain eval (VERDICT r2 #3).
+
+Times each stage of physics/barneshut._bh_accelerations at BASELINE
+config-5 shapes (N=4M galaxy merger, auto L=10, deep=12) as its own
+chained-scan dispatch on the real TPU, so the 5.4 s/step can be attributed
+(aggregates gather vs L2L upsample vs transition M2L vs sort, per
+STATUS.md round-2 next #1). Prints one JSON line per stage.
+
+Usage: python scripts/profile_config5.py [--n N] [--reps R]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def time_stage(name, fn, inputs, reps=2, laps=3):
+    """Best-of-laps seconds per eval of fn(*inputs), chained under one
+    scan dispatch (tunnel-safe: scalar checksum pull forces completion)."""
+
+    def chained(inputs):
+        def body(c, _):
+            # Data-depend every float input on the carry so XLA cannot
+            # hoist the stage out of the scan; 1e-20*c underflows to a
+            # +0.0 perturbation in f32, leaving the math unchanged.
+            scaled = jax.tree.map(
+                lambda x: x * (1.0 + 1e-20 * c)
+                if jnp.issubdtype(x.dtype, jnp.floating) else x, inputs)
+            out = fn(*scaled)
+            chk = sum(jnp.sum(leaf) for leaf in jax.tree.leaves(out)
+                      if jnp.issubdtype(leaf.dtype, jnp.floating))
+            return c + 1e-20 * chk, None
+
+        out, _ = lax.scan(body, jnp.float32(0.0), None, length=reps)
+        return out
+
+    f = jax.jit(chained)
+    np.asarray(f(inputs))  # compile + warm
+    best = float("inf")
+    for _ in range(laps):
+        t0 = time.perf_counter()
+        np.asarray(f(inputs))
+        best = min(best, time.perf_counter() - t0)
+    sec = best / reps
+    print(json.dumps({"stage": name, "seconds": sec}), flush=True)
+    return sec
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1 << 22)
+    ap.add_argument("--reps", type=int, default=2)
+    args = ap.parse_args()
+
+    from nbodysim_tpu.config import SimConfig
+    from nbodysim_tpu.physics import barneshut as bh
+    from nbodysim_tpu.scenes import init_scene
+
+    config = SimConfig(n=args.n, force_backend="bh", bh_deep_levels=-1,
+                       enable_collisions=False, dt=0.05)
+    state = init_scene("galaxy_merger", config)
+    pos = jax.device_put(state.pos)
+    mass = jax.device_put(state.mass)
+    n = args.n
+    levels = bh._resolve_levels(config, n)
+    deep = bh._resolve_deep_levels(config, levels)
+    radius = bh._resolve_radius(config)
+    eps_sq = float(config.eps_sq)
+    res = 1 << levels
+    print(json.dumps({"stage": "config", "n": n, "levels": levels,
+                      "deep": deep, "radius": radius}), flush=True)
+
+    # ---- prep: extraction + bounding + cells -------------------------
+    def prep(pos, mass):
+        ext = bh._extract_heavy_outliers(pos, mass)
+        corner, size = bh._bounding_square(ext["bulk_pos"])
+        return ext["tree_mass"], ext["bulk_pos"], corner, size
+
+    time_stage("extract+bounds", prep, (pos, mass), reps=args.reps)
+
+    tree_mass, bulk_pos, corner, size = jax.jit(prep)(pos, mass)
+    tree_mass, bulk_pos = map(jax.device_put, (tree_mass, bulk_pos))
+
+    # ---- pyramid build (scatter + pool to level 2) -------------------
+    def build(bulk_pos, tree_mass):
+        grids, corner, size, ci_f, flat_f = bh._build_pyramid(
+            bulk_pos, tree_mass, deep)
+        return grids[deep]
+
+    time_stage("pyramid build (scatter+pools)", build,
+               (bulk_pos, tree_mass), reps=args.reps)
+
+    grids, corner_, size_, ci_f, flat_f = jax.jit(
+        lambda p, m: bh._build_pyramid(p, m, deep))(bulk_pos, tree_mass)
+    ci = ci_f >> (deep - levels)
+    flat = ci[:, 0] * res + ci[:, 1]
+    ci, flat = jax.device_put(ci), jax.device_put(flat)
+
+    # ---- M2L per level group ----------------------------------------
+    def m2l_at(lvl):
+        g = tuple(jax.device_put(x) for x in grids[lvl])
+
+        def f(*g6):
+            return bh._m2l_level(g6, corner_, size_, eps_sq, radius)
+
+        return time_stage(f"M2L level {lvl} ({1 << lvl}^2)", f, g,
+                          reps=args.reps)
+
+    m2l_bucket = 0.0
+    for lvl in range(2, levels + 1):
+        if lvl >= levels - 1:
+            m2l_bucket += m2l_at(lvl)
+        # coarse levels are negligible; time the two finest bucket levels
+    for lvl in range(levels + 1, deep + 1):
+        m2l_at(lvl)
+
+    # ---- L2L upsample at the two deep levels -------------------------
+    nine = tuple(jax.device_put(jnp.zeros(((1 << (deep - 1)),) * 2,
+                                          jnp.float32)) for _ in range(9))
+
+    def l2l(*loc):
+        return bh._l2l_upsample(loc, size_ / (1 << deep))
+
+    time_stage(f"L2L upsample {1 << (deep - 1)}->{1 << deep}", l2l, nine,
+               reps=args.reps)
+
+    # ---- near-field buckets (sort+scatter+stencil+gather) ------------
+    def near(pos_, mass_):
+        acc, overflow = bh._near_field_buckets(
+            pos_, mass_, ci, flat, levels, eps_sq, 1.0, bh.NEAR_CAP,
+            radius, use_pallas=True, skip_residual=True)
+        return acc
+
+    time_stage("near-field buckets (incl. sort)", near,
+               (bulk_pos, tree_mass), reps=args.reps)
+
+    def just_sort(f32flat):
+        return jnp.argsort(f32flat)
+
+    time_stage("global argsort", just_sort,
+               (jax.device_put(flat.astype(jnp.float32)),), reps=args.reps)
+
+    # ---- deep aggregates ---------------------------------------------
+    payload = jax.jit(bh._moment_payload)(bulk_pos, tree_mass)
+    rrd = radius - 1
+    g6d = jax.jit(lambda g: jnp.pad(jnp.stack(g, axis=-1),
+                                    ((rrd, rrd), (rrd, rrd), (0, 0))))(
+        grids[deep])
+
+    def agg(pos_, payload_, g6_):
+        return bh._deep_near_aggregates(pos_, payload_, g6_, ci_f, eps_sq,
+                                        size_ / (1 << deep), rr=rrd)
+
+    time_stage("deep aggregates (5x5 window gathers)", agg,
+               (bulk_pos, payload, g6d), reps=args.reps)
+
+    # ---- L2P gathers --------------------------------------------------
+    loc_b = tuple(jax.device_put(jnp.zeros((res, res), jnp.float32))
+                  for _ in range(9))
+
+    def l2p(*loc):
+        return bh._l2p_eval(loc, ci, bulk_pos, corner_, size_, levels)
+
+    time_stage("L2P bucket gather", l2p, loc_b, reps=args.reps)
+
+    loc_d = tuple(jax.device_put(jnp.zeros((1 << deep, 1 << deep),
+                                           jnp.float32)) for _ in range(9))
+
+    def l2p_d(*loc):
+        return bh._l2p_eval(loc, ci_f, bulk_pos, corner_, size_, deep)
+
+    time_stage("L2P deep gather", l2p_d, loc_d, reps=args.reps)
+
+    # ---- whole eval for reference -------------------------------------
+    def whole(pos_, mass_):
+        return bh.bh_accelerations(pos_, mass_, config)
+
+    time_stage("WHOLE bh eval (deep on)", whole, (pos, mass),
+               reps=args.reps)
+
+
+if __name__ == "__main__":
+    main()
