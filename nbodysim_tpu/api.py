@@ -52,6 +52,15 @@ class Simulation:
 
             self.config = resolve_config_for_state(
                 state.pos, state.mass, self.config)
+        if self.config.enable_collisions:
+            # Same probe for the collision broad phase: clustered scenes
+            # that overflow the bucket grid switch to the sorted hash with
+            # radius-scaled cells (collisions.resolve_collision_phase...).
+            from nbodysim_tpu.physics.collisions import (
+                resolve_collision_phase_for_state)
+
+            self.config = resolve_collision_phase_for_state(
+                state, self.config)
         if self.config.integrator == "leapfrog_kdk":
             state = prime_accelerations(state, self.config)
         self.state = state
@@ -95,7 +104,10 @@ class Simulation:
                     f"force_backend='pallas' for this scene.",
                     RuntimeWarning)
 
-        if (self.config.enable_collisions and self.state.dim == 2):
+        if (self.config.enable_collisions and self.state.dim == 2
+                and self.config.collision_broad_phase in ("auto", "bucket")):
+            # Scenes already switched to the sorted hash (radius-scaled
+            # cells) have full coverage — no bucket cap to exceed.
             from nbodysim_tpu.physics.collisions import (
                 DENSE_THRESHOLD, _OVERFLOW_CAP as COLL_CAP,
                 collision_bucket_overflow)
@@ -107,8 +119,10 @@ class Simulation:
                     warnings.warn(
                         f"collision bucket overflow {over} exceeds the "
                         f"residual capacity {COLL_CAP} on {when}; "
-                        f"excess particles get no collision response. Raise "
-                        f"collision_grid_res or collision_max_neighbors.",
+                        f"excess particles get no collision response. Set "
+                        f"collision_broad_phase='hash' (radius-scaled "
+                        f"cells, full coverage) or raise "
+                        f"collision_grid_res / collision_max_neighbors.",
                         RuntimeWarning)
         return exceeded
 

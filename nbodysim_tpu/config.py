@@ -51,6 +51,15 @@ class SimConfig:
 
     # Collisions (Simulation.hpp:18-47, 216-346)
     enable_collisions: bool = True
+    # Broad phase: "auto" = dense O(N^2) pair test at N <= 64k, dense
+    # bucket grid above (2D), sorted spatial hash (3D / clustered scenes —
+    # the occupancy probe at Simulation init switches clustered 2D scenes
+    # here with radius-scaled cells, where the fixed-res bucket grid would
+    # drop pairs beyond its residual capacity).
+    collision_broad_phase: str = "auto"  # "auto"|"dense"|"bucket"|"hash"
+    # Spatial-hash cell size; <= 0 means radius-scaled auto (2.05x the
+    # 65th-largest radius — the smallest size the big-body extraction
+    # permits, minimizing occupancy in clustered scenes).
     collision_cell_size: float = 600.0   # SpatialGrid::CELL_SIZE
     collision_impulse: float = 1.5       # resolve() impulse factor, hpp:338
     collision_iterations: int = 1        # Jacobi sweeps per step (1 = ref-like)
@@ -87,6 +96,14 @@ class SimConfig:
     # this on when clustering exceeds the bucket+residual capacity),
     # > bucket level = explicit deep level.
     bh_deep_levels: int = 0
+    # Hot-zone sub-box refinement (tile levels BELOW the deep grid): the T
+    # hottest t x t deep-cell tiles continue the chain k more levels with
+    # tile-local grids, cutting the PM smoothing scale 2^k in the dense
+    # cores without the global-grid HBM cliff. -1 (default) = auto: 3
+    # levels whenever the deep chain is active; 0 = off; > 0 = explicit k.
+    bh_tile_levels: int = -1
+    bh_tile_size: int = 32       # tile side, deep-level cells
+    bh_tile_count: int = 8       # max refined tiles per eval
 
     # Numerics
     dtype: Any = jnp.float32
@@ -107,6 +124,11 @@ class SimConfig:
         if self.collision_backend not in ("auto", "pallas", "xla"):
             raise ValueError(
                 f"unknown collision backend {self.collision_backend!r}")
+        if self.collision_broad_phase not in ("auto", "dense", "bucket",
+                                              "hash"):
+            raise ValueError(
+                f"unknown collision broad phase "
+                f"{self.collision_broad_phase!r}")
 
     @property
     def eps_sq(self) -> float:

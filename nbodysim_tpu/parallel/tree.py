@@ -62,6 +62,9 @@ from nbodysim_tpu.physics.barneshut import (
     _resolve_deep_levels,
     _resolve_levels,
     _resolve_radius,
+    _resolve_tile_params,
+    _tile_eval,
+    _tile_select,
     heavy_coupling,
 )
 
@@ -97,7 +100,9 @@ def banded_tree_accelerations(
         eps_sq=float(config.eps_sq), g_const=float(config.g_const),
         near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name,
         nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret,
-        deep_levels=_resolve_deep_levels(config, levels))
+        deep_levels=_resolve_deep_levels(config, levels),
+        tile_params=_resolve_tile_params(
+            config, _resolve_deep_levels(config, levels), radius))
 
 
 def _halo_window(band, p: int, p_dev: int, axis_name: str):
@@ -121,7 +126,8 @@ def _halo_window(band, p: int, p_dev: int, axis_name: str):
 
 def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                  near_cap, p_dev, n_l, axis_name,
-                 nf_pallas=False, interpret=False, deep_levels=0):
+                 nf_pallas=False, interpret=False, deep_levels=0,
+                 tile_params=(0, 0, 0)):
     from nbodysim_tpu.core.blocking import sorted_first_occurrence
     from nbodysim_tpu.physics.forces import direct_accelerations
 
@@ -375,6 +381,18 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                 bmask = bmask | hotp[ox:ox + res, oy:oy + res]
         b_par = bmask.reshape(-1)[flat]                        # [N]
 
+        # Fold the cheb>=2 aggregate ring into the deep locals (dense
+        # banded stencil; barneshut._fold_aggregate_ring) — the tile path
+        # below must slice the UN-folded local_deep.
+        from nbodysim_tpu.physics.barneshut import _fold_aggregate_ring
+
+        rrd = radius - 1
+        wring = _halo_window(band_grids[build_levels], rrd, p_dev,
+                             axis_name)
+        local_agg = _fold_aggregate_ring(
+            local_deep, wring, corner, size, res_b, eps_sq, radius,
+            row0=row0_b, rows=rb_b)
+
         # Deep L2P on band particles (band rows at the deep level align
         # with the bucket-level bands: row_deep >> (deep-levels) = row).
         s_d = size / res_b
@@ -383,7 +401,7 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         centy_d = corner[1] + (ci_f[:, 1].astype(pos.dtype) + 0.5) * s_d
         dxd = pos[:, 0] - centx_d
         dyd = pos[:, 1] - centy_d
-        locd = jnp.stack(local_deep, axis=0).reshape(9, rb_b * res_b)
+        locd = jnp.stack(local_agg, axis=0).reshape(9, rb_b * res_b)
         gd = locd[:, lrow_d * res_b + ci_f[:, 1]]              # [9, N]
         (fx_d, fy_d, jxx_d, jxy_d, jyy_d,
          hxxx_d, hxxy_d, hxyy_d, hyyy_d) = (gd[i] for i in range(9))
@@ -397,15 +415,50 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
 
         # Smoothed deep-cell aggregates over a band+halo window (halo rows
         # real ring-neighbor data — the single-chip zero pad appears only
-        # at the global boundary, matching its jnp.pad semantics).
-        win6 = _halo_window(band_grids[build_levels], rr, p_dev, axis_name)
-        gp = jnp.stack(win6, axis=-1)    # [rb_b + 2rr, res_b + 2rr, 6]
+        # at the global boundary, matching its jnp.pad semantics). Inner
+        # 3x3 only: the outer ring folded into local_agg above.
+        rin = min(rrd, 1)
+        win6 = _halo_window(band_grids[build_levels], rin, p_dev,
+                            axis_name)
+        gp = jnp.stack(win6, axis=-1)    # [rb_b + 2rin, res_b + 2rin, 6]
         payload = _moment_payload(pos, tree_mass)
         deep_near = g_const * _deep_near_aggregates(
-            pos, payload, gp, ci_f, eps_sq, s_d, rr, row0=row0_b)
+            pos, payload, gp, ci_f, eps_sq, s_d, rin, row0=row0_b)
 
         deep_part = jnp.where(in_band[:, None], far_deep + deep_near, 0.0)
         contrib = jnp.where((b_par & in_band)[:, None], deep_part, contrib)
+
+        # ---- hot-zone tile refinement under banding --------------------
+        # Tile selection, moment scatter, and the per-tile sub-level chain
+        # are replicated (tiny grids); only the level-D local WINDOW is
+        # banded state — each device contributes its band's rows of every
+        # tile window (zeros elsewhere) and one psum of the [T, W, W, 9]
+        # stack (~100s of KB) assembles what the single chip slices from
+        # the full grid. Application is band-masked so the final psum of
+        # contrib stays disjoint.
+        tk, tt, tc = tile_params
+        if tk:
+            hh = radius
+            ww = tt + 2 * hh
+            tid, tile_slot, orig = _tile_select(ci_f, b_par, build_levels,
+                                                tt, tc, radius)
+            locb = jnp.stack(local_deep, axis=-1)       # [rb_b, res_b, 9]
+            locbp = jnp.pad(locb, ((ww, ww), (hh, hh), (0, 0)))
+
+            def slice_band(o):
+                st = jnp.clip(o[0] - row0_b + ww, 0, rb_b + ww)
+                return lax.dynamic_slice(locbp, (st, o[1] + hh, 0),
+                                         (ww, ww, 9))
+
+            local_w = lax.psum(jax.vmap(slice_band)(orig), axis_name)
+            refined, far_ref, near_ref = _tile_eval(
+                pos, payload, bulk_pos, ci_f, b_par, local_w,
+                tid, tile_slot, orig, corner, size, build_levels, radius,
+                eps_sq, k=tk, t=tt, T=tc)
+            ref_part = jnp.where(in_band[:, None],
+                                 g_const * (far_ref + near_ref), 0.0)
+            contrib = jnp.where((refined & in_band)[:, None], ref_part,
+                                contrib)
 
     # ---------------- exact forces ON outliers (index-range sharded) ----
     k_out = out_i.shape[0]

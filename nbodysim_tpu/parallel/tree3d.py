@@ -33,6 +33,7 @@ from nbodysim_tpu.physics.barneshut3d import (
     _bounding_cube,
     _bucket_stencil3,
     _deep_near_aggregates3,
+    _fold_aggregate_ring3,
     _l2l_upsample3,
     _m2l_conv3,
     _m2l_level3,
@@ -41,7 +42,10 @@ from nbodysim_tpu.physics.barneshut3d import (
     _resolve_deep_levels3,
     _resolve_levels3,
     _resolve_radius3,
+    _resolve_tile_params3,
     _taylor_eval3,
+    _tile_eval3,
+    _tile_select3,
 )
 
 
@@ -78,7 +82,9 @@ def banded_tree3_accelerations(
         near_cap=NEAR_CAP, p_dev=p_dev, n_l=n_l, axis_name=axis_name,
         nf_pallas=_nf_use_pallas(config),
         interpret=config.pallas_interpret,
-        deep_levels=_resolve_deep_levels3(config, levels))
+        deep_levels=_resolve_deep_levels3(config, levels),
+        tile_params=_resolve_tile_params3(
+            config, _resolve_deep_levels3(config, levels), radius))
 
 
 def _halo_window3(band, p: int, p_dev: int, axis_name: str):
@@ -102,7 +108,8 @@ def _halo_window3(band, p: int, p_dev: int, axis_name: str):
 
 def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                   near_cap, p_dev, n_l, axis_name,
-                  nf_pallas=False, interpret=False, deep_levels=0):
+                  nf_pallas=False, interpret=False, deep_levels=0,
+                  tile_params=(0, 0, 0)):
     from nbodysim_tpu.core.blocking import sorted_first_occurrence
     from nbodysim_tpu.physics.forces import direct_accelerations
 
@@ -361,13 +368,23 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                                          oz:oz + res]
         b_par = bmask.reshape(-1)[flat]                        # [N]
 
+        # Fold the cheb>=2 aggregate shell into the deep locals (dense
+        # banded stencil) — the tile path below must slice the UN-folded
+        # local_deep. No-op at the 3D default R=2.
+        rrd = radius - 1
+        wring = _halo_window3(band_grids[build_levels], rrd, p_dev,
+                              axis_name)
+        local_agg = _fold_aggregate_ring3(
+            local_deep, wring, corner, size, res_b, eps_sq, radius,
+            row0=row0_b, rows=rb_b)
+
         # Deep L2P on band particles (deep bands align with bucket bands).
         s_d = size / res_b
         lrow_d = jnp.clip(ci_f[:, 0] - row0_b, 0, rb_b - 1)
         centx_d = corner[0] + (ci_f[:, 0].astype(pos.dtype) + 0.5) * s_d
         centy_d = corner[1] + (ci_f[:, 1].astype(pos.dtype) + 0.5) * s_d
         centz_d = corner[2] + (ci_f[:, 2].astype(pos.dtype) + 0.5) * s_d
-        locd = jnp.stack(local_deep, axis=0).reshape(19, rb_b * res_b**2)
+        locd = jnp.stack(local_agg, axis=0).reshape(19, rb_b * res_b**2)
         gdi = (lrow_d * res_b + ci_f[:, 1]) * res_b + ci_f[:, 2]
         gd = locd[:, gdi]                                      # [19, N]
         evd = _taylor_eval3(tuple(gd[i] for i in range(19)),
@@ -378,15 +395,46 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         # Smoothed deep-cell aggregates over a band+halo window (halo
         # slabs real ring-neighbor data — the single-chip zero pad appears
         # only at the global boundary, matching its jnp.pad semantics).
-        win10 = _halo_window3(band_grids[build_levels], rr, p_dev,
+        # Inner 3^3 only: any outer shell folded into local_agg above.
+        rin = min(rrd, 1)
+        win10 = _halo_window3(band_grids[build_levels], rin, p_dev,
                               axis_name)
-        gpw = jnp.stack(win10, axis=-1)  # [rb_b+2rr, res_b+2rr, .., 10]
+        gpw = jnp.stack(win10, axis=-1)  # [rb_b+2rin, res_b+2rin, .., 10]
         payload = _moment_payload3(pos, tree_mass)
         deep_near = g_const * _deep_near_aggregates3(
-            pos, payload, gpw, ci_f, eps_sq, s_d, rr, row0=row0_b)
+            pos, payload, gpw, ci_f, eps_sq, s_d, rin, row0=row0_b)
 
         deep_part = jnp.where(in_band[:, None], far_deep + deep_near, 0.0)
         contrib = jnp.where((b_par & in_band)[:, None], deep_part, contrib)
+
+        # ---- hot-zone tile refinement under banding (3D) ---------------
+        # Same scheme as parallel/tree.py: replicated tile compute; only
+        # the level-D local WINDOW is banded state — band-slice + one
+        # small psum assembles it; application is band-masked.
+        tk, tt, tc = tile_params
+        if tk:
+            hh = radius
+            ww = tt + 2 * hh
+            tid, tile_slot, orig = _tile_select3(
+                ci_f, b_par, build_levels, tt, tc, radius)
+            locb = jnp.stack(local_deep, axis=-1)  # [rb_b, res_b^2, 19]
+            locbp = jnp.pad(locb, ((ww, ww), (hh, hh), (hh, hh), (0, 0)))
+
+            def slice_band(o):
+                st = jnp.clip(o[0] - row0_b + ww, 0, rb_b + ww)
+                return lax.dynamic_slice(
+                    locbp, (st, o[1] + hh, o[2] + hh, 0),
+                    (ww, ww, ww, 19))
+
+            local_w = lax.psum(jax.vmap(slice_band)(orig), axis_name)
+            refined, far_ref, near_ref = _tile_eval3(
+                pos, payload, bulk_pos, ci_f, b_par, local_w,
+                tid, tile_slot, orig, corner, size, build_levels, radius,
+                eps_sq, k=tk, t=tt, T=tc)
+            ref_part = jnp.where(in_band[:, None],
+                                 g_const * (far_ref + near_ref), 0.0)
+            contrib = jnp.where((refined & in_band)[:, None], ref_part,
+                                contrib)
 
     # ---------------- exact forces ON outliers (index-range sharded) ----
     k_out = out_i.shape[0]

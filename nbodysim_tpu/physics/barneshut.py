@@ -134,17 +134,25 @@ def _m2l_level(grids_l, corner, size, eps_sq, radius: int):
 
 
 def _m2l_stencil(window, corner, size, r_full: int, eps_sq, radius: int,
-                 row0, rows: int):
+                 row0, rows: int, offsets=None, gate_parity: bool = True,
+                 pad: int | None = None):
     """V-list stencil over a row window -> p=2 local terms (F, J, H) with
     quadrupole source moments folded into F.
 
     `window`: the 6 raw moment grids, [rows + 2p, r_full + 2p] each
-    (p = 2*radius - 1), holding the `rows` target rows plus p halo rows on
-    each side (real neighbor data or zeros at the global boundary) and p
-    zero columns. `row0` is the global grid row of the first target row
-    (traced; the banded multi-chip path passes my_band * rows). Output
-    terms are [rows, r_full]. The single-chip `_m2l_level` is the
-    rows=r_full, row0=0 instance.
+    (p = 2*radius - 1, or `pad` when given), holding the `rows` target
+    rows plus p halo rows on each side (real neighbor data or zeros at the
+    global boundary) and p zero columns. `row0` is the global grid row of
+    the first target row (traced; the banded multi-chip path passes
+    my_band * rows). Output terms are [rows, r_full]. The single-chip
+    `_m2l_level` is the rows=r_full, row0=0 instance.
+
+    `offsets`/`gate_parity`/`pad` generalize the stencil beyond the
+    V-list: the deep-aggregate RING FOLD passes the outer aggregate-window
+    offsets with parity gating off and eps_sq pre-widened by the
+    Plummer-cloud smoothing term, turning 16 of the 25 per-particle
+    aggregate gathers into this dense stencil (profiled r3: the gathers
+    were the dominant config-5 stage at 1.6 s/eval).
     """
     m_w, wx_w, wy_w, rxx_w, rxy_w, ryy_w = window
     s_l = size / r_full
@@ -167,17 +175,17 @@ def _m2l_stencil(window, corner, size, r_full: int, eps_sq, radius: int,
     pary = (lax.broadcasted_iota(jnp.int32, (rows, r_full), 1) & 1)
 
     R = radius
-    # Static V-list offsets (Chebyshev distance in [R, 2R-1]), iterated with
-    # a lax.scan + dynamic_slice shift so the compiled body is shared across
-    # offsets (a fully unrolled stencil made XLA compile for minutes).
-    offsets = jnp.array(
-        [(ox, oy)
-         for ox in range(-(2 * R - 1), 2 * R)
-         for oy in range(-(2 * R - 1), 2 * R)
-         if max(abs(ox), abs(oy)) >= R],
-        jnp.int32,
-    )
-    p = 2 * R - 1
+    if offsets is None:
+        # Static V-list offsets (Chebyshev distance in [R, 2R-1]), iterated
+        # with a lax.scan + dynamic_slice shift so the compiled body is
+        # shared across offsets (a fully unrolled stencil made XLA compile
+        # for minutes).
+        offsets = [(ox, oy)
+                   for ox in range(-(2 * R - 1), 2 * R)
+                   for oy in range(-(2 * R - 1), 2 * R)
+                   if max(abs(ox), abs(oy)) >= R]
+    offsets = jnp.array(offsets, jnp.int32)
+    p = 2 * R - 1 if pad is None else pad
     m_p = m_w
     sx_p = comx
     sy_p = comy
@@ -196,18 +204,19 @@ def _m2l_stencil(window, corner, size, r_full: int, eps_sq, radius: int,
         sqxx = lax.dynamic_slice(qxx_p, start, shape)
         sqxy = lax.dynamic_slice(qxy_p, start, shape)
         sqyy = lax.dynamic_slice(qyy_p, start, shape)
-        # Boundary ring (cheb == 2R-1): only when the source's parent lies
-        # in the parent's near set (exactly-once coverage). Depends only on
-        # cell parity — a 2x2 pattern.
-        cheb = jnp.maximum(jnp.abs(ox), jnp.abs(oy))
-        pxo = (ox + parx) >> 1       # floor((ox + parity)/2)
-        pyo = (oy + pary) >> 1
-        pm_ok = (jnp.abs(pxo) <= R - 1) & (jnp.abs(pyo) <= R - 1)
-        keep = (cheb < 2 * R - 1) | pm_ok
-        ms = jnp.where(keep, ms, 0.0)
-        sqxx = jnp.where(keep, sqxx, 0.0)
-        sqxy = jnp.where(keep, sqxy, 0.0)
-        sqyy = jnp.where(keep, sqyy, 0.0)
+        if gate_parity:
+            # Boundary ring (cheb == 2R-1): only when the source's parent
+            # lies in the parent's near set (exactly-once coverage).
+            # Depends only on cell parity — a 2x2 pattern.
+            cheb = jnp.maximum(jnp.abs(ox), jnp.abs(oy))
+            pxo = (ox + parx) >> 1       # floor((ox + parity)/2)
+            pyo = (oy + pary) >> 1
+            pm_ok = (jnp.abs(pxo) <= R - 1) & (jnp.abs(pyo) <= R - 1)
+            keep = (cheb < 2 * R - 1) | pm_ok
+            ms = jnp.where(keep, ms, 0.0)
+            sqxx = jnp.where(keep, sqxx, 0.0)
+            sqxy = jnp.where(keep, sqxy, 0.0)
+            sqyy = jnp.where(keep, sqyy, 0.0)
 
         dx = sx - cx
         dy = sy - cy
@@ -389,12 +398,23 @@ def _m2l_conv(gx, corner, size, r_full: int, eps_sq, radius: int,
     out, _ = lax.scan(body, out0, (po, W))
     inv_s = 1.0 / s_l
     s2 = inv_s * inv_s
-    term_scale = jnp.concatenate(
-        (jnp.full((2,), s2, dtype), jnp.full((3,), s2 * inv_s, dtype),
-         jnp.full((4,), s2 * s2, dtype)))
-    out = (out.reshape(hb, h, 2, 2, 9) * term_scale
-           ).transpose(0, 2, 1, 3, 4).reshape(rows, r_full, 9)
-    return tuple(out[..., i] for i in range(9))
+    scales = (s2, s2, s2 * inv_s, s2 * inv_s, s2 * inv_s,
+              s2 * s2, s2 * s2, s2 * s2, s2 * s2)
+    # De-space-to-depth PER TERM with 2D interleaves. The previous
+    # one-shot [hb, h, 2, 2, 9] transpose + [rows, r_full, 1] slices made
+    # XLA pick T(8,128) layouts whose tiny minor dims pad up to 128x —
+    # measured as an 8 GB HLO temp at the 4096^2 deep level (the r3
+    # config-5 HBM OOM). Column slices of the channel-minor accumulator +
+    # [hb, h]-shaped stacks keep every temp at its unpadded size.
+    terms = []
+    for t in range(9):
+        a = [[out[:, (2 * c + d) * 9 + t].reshape(hb, h) for d in (0, 1)]
+             for c in (0, 1)]
+        r0 = jnp.stack([a[0][0], a[0][1]], axis=-1).reshape(hb, r_full)
+        r1 = jnp.stack([a[1][0], a[1][1]], axis=-1).reshape(hb, r_full)
+        terms.append(jnp.stack([r0, r1], axis=1).reshape(rows, r_full)
+                     * scales[t])
+    return tuple(terms)
 
 
 def _l2l_upsample(local, s_child):
@@ -766,16 +786,28 @@ def _deep_near_aggregates(pos, payload, gp, ci_deep, eps_sq, s_d,
     Returns [N, 2] (un-multiplied by g_const)."""
     eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
     rows = gp.shape[0] - 2 * rr
-    r_d = gp.shape[1] - 2 * rr
+    stride = gp.shape[1]
     gp = gp.reshape(-1, 6)
     row = jnp.clip(ci_deep[:, 0] - row0, 0, rows - 1) + rr
     col = ci_deep[:, 1] + rr
+    base = row * stride + col
+    return _aggregate_window_eval(gp, base, stride, payload, pos, eps_sq,
+                                  rr)
+
+
+def _aggregate_window_eval(gp_flat, base, stride, payload, pos, eps_sq,
+                           rr: int):
+    """(2rr+1)^2 smoothed cell-aggregate kick shared by the full-grid deep
+    path and the tile-refined path. gp_flat: [M, 6] flattened padded
+    moment cells; base: [N] flat index of each particle's home cell in
+    that layout; stride: row stride. eps_sq arrives ALREADY widened by the
+    Plummer-cloud term. Returns [N, 2] (un-multiplied by g_const)."""
     px, py = pos[:, 0], pos[:, 1]
     ax = jnp.zeros_like(px)
     ay = jnp.zeros_like(py)
     for ox in range(-rr, rr + 1):
         for oy in range(-rr, rr + 1):
-            ch = gp[(row + ox) * (r_d + 2 * rr) + (col + oy)]  # [N, 6]
+            ch = gp_flat[base + (ox * stride + oy)]           # [N, 6]
             if ox == 0 and oy == 0:
                 ch = ch - payload
             m = ch[:, 0]
@@ -806,14 +838,225 @@ def _deep_near_aggregates(pos, payload, gp, ci_deep, eps_sq, s_d,
     return jnp.stack([ax, ay], axis=-1)
 
 
+_TILE_SIZE_2D = 32    # tile side in deep-level cells (t >= 2R required)
+_TILE_COUNT = 8       # max refined tiles per eval (graceful beyond)
+
+
+def _fold_aggregate_ring(local, window, corner, size, r_full: int, eps_sq,
+                         radius: int, row0, rows: int):
+    """Fold the OUTER ring (Chebyshev >= 2) of the smoothed aggregate
+    window into the local expansion as a dense stencil, so the per-particle
+    aggregate pass shrinks to the inner 3x3 (25 -> 9 gathers at R=3 —
+    profiled r3: the gathers were config 5's dominant stage, 1.6 s of the
+    5.4 s step). The folded cells are evaluated by the p=2 Taylor of the
+    WIDENED (Plummer-cloud) kernel about the cell center — cheb >= 2 keeps
+    the expansion ratio ~0.47, the same regime as M2L at R=2 (~4e-3 per
+    folded cell, at a distance where the aggregate is a small fraction of
+    the force). `window`: 6 moment grids pre-padded by rr = radius - 1
+    (zeros on the single chip, ring-neighbor halo rows in the banded
+    path). No-op when rr < 2 (the window IS the inner 3x3)."""
+    rr = radius - 1
+    if rr < 2:
+        return local
+    s_d = size / r_full
+    eps_w = eps_sq + _DEEP_SMOOTH * s_d * s_d
+    ring = [(ox, oy)
+            for ox in range(-rr, rr + 1)
+            for oy in range(-rr, rr + 1)
+            if max(abs(ox), abs(oy)) >= 2]
+    terms = _m2l_stencil(window, corner, size, r_full, eps_w, radius,
+                         row0=row0, rows=rows, offsets=ring,
+                         gate_parity=False, pad=rr)
+    return tuple(a + b for a, b in zip(local, terms))
+
+
+def _tile_refine(pos, payload, bulk_pos, ci_f, b_par, local_deep,
+                 corner, size, deep: int, radius: int, eps_sq,
+                 k: int, t: int, T: int):
+    """Hot-zone sub-box refinement: continue the deep chain k more levels
+    inside the T hottest t x t-cell tiles of the deepest global level.
+
+    The deep chain's PM smoothing scale is set by the deepest GLOBAL grid
+    the HBM can hold (0.3 * s_deep). Dense cores occupy a tiny fraction of
+    the domain, so refining only there is nearly free: each selected tile
+    gets a window of (t + 2R) deep cells (R cells of halo cover every
+    sub-level's V-list and the deepest aggregate window), particle moments
+    scatter into tile-local grids at 2^k x finer resolution, the M2L/L2L
+    chain continues per tile (vmapped MXU contractions; window origins are
+    even at every sub-level, so the V-list parity gating stays aligned
+    with the true 2:1 hierarchy), and refined targets evaluate the
+    sub-level-k local expansion + smoothed aggregates — the smoothing
+    scale drops 2^k in exactly the cells where it matters. Targets whose
+    home tile is not selected keep the global deep path (graceful, never
+    lossy). Same telescoping identity as the bucket->deep chain, so the
+    refinement is exact but for the (smaller) smoothing.
+
+    Returns (refined [N] bool, far_ref [N,2], near_ref [N,2]); outputs
+    un-multiplied by g_const and garbage where ~refined (callers mask).
+    """
+    H = radius
+    tid, tile_slot, orig = _tile_select(ci_f, b_par, deep, t, T, radius)
+
+    # Window slice of the level-D locals, padded by H zeros.
+    locD = jnp.stack(local_deep, axis=-1)                   # [rD, rD, 9]
+    locDp = jnp.pad(locD, ((H, H), (H, H), (0, 0)))
+
+    def slice_tile(o):
+        return lax.dynamic_slice(locDp, (o[0] + H, o[1] + H, 0),
+                                 (t + 2 * H, t + 2 * H, 9))
+
+    local_w = jax.vmap(slice_tile)(orig)                    # [T, W, W, 9]
+    return _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
+                      tid, tile_slot, orig, corner, size, deep, radius,
+                      eps_sq, k=k, t=t, T=T)
+
+
+def _tile_select(ci_f, b_par, deep: int, t: int, T: int, radius: int):
+    """Top-T tiles by deep-path-target count. Returns (tid [N] home-tile
+    id, tile_slot [nt^2+1] tile-id -> slot (T = unselected), orig [T, 2]
+    window origin in deep cells, = tile corner - H)."""
+    rD = 1 << deep
+    nt = rD // t
+    tx = ci_f[:, 0] // t
+    ty = ci_f[:, 1] // t
+    tid = tx * nt + ty
+    scores = (jnp.zeros((nt * nt,), jnp.int32)
+              .at[tid].add(b_par.astype(jnp.int32)))
+    top_s, top_i = lax.top_k(scores, T)
+    valid_tile = top_s > 0
+    tile_slot = (jnp.full((nt * nt + 1,), T, jnp.int32)
+                 .at[jnp.where(valid_tile, top_i, nt * nt)]
+                 .set(jnp.arange(T, dtype=jnp.int32), mode="drop"))
+    orig = (jnp.stack([top_i // nt, top_i % nt], axis=-1) * t
+            - radius)                                           # [T, 2]
+    return tid, tile_slot, orig
+
+
+def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
+               tid, tile_slot, orig, corner, size, deep: int, radius: int,
+               eps_sq, k: int, t: int, T: int):
+    """Per-tile chain + refined per-particle evaluation given the window
+    slice of the level-D locals (see _tile_refine; split out so the
+    banded multi-chip tree can supply local_w via band-slice + psum)."""
+    n = pos.shape[0]
+    dtype = pos.dtype
+    rD = 1 << deep
+    H = radius
+    W = t + 2 * H
+    f = 1 << k
+    Wf = W * f
+    nt = rD // t
+    tx = ci_f[:, 0] // t
+    ty = ci_f[:, 1] // t
+    u = (bulk_pos - corner) / size
+    ci_sub = jnp.clip((u * (rD * f)).astype(jnp.int32), 0, rD * f - 1)
+
+    # ---- scatter moments into tile windows at sub-resolution -----------
+    # A particle's deep cell can sit in up to 4 selected windows (its home
+    # tile plus x/y/corner neighbors when within H of a tile edge).
+    mx = ci_f[:, 0] % t
+    my = ci_f[:, 1] % t
+    sx = jnp.where(mx < H, -1, jnp.where(mx >= t - H, 1, 0))
+    sy = jnp.where(my < H, -1, jnp.where(my >= t - H, 1, 0))
+
+    g6t = jnp.zeros((T * Wf * Wf, 6), dtype)
+    for cx, cy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        dxs = sx if cx else 0
+        dys = sy if cy else 0
+        ctx = tx + dxs
+        cty = ty + dys
+        ok = (ctx >= 0) & (ctx < nt) & (cty >= 0) & (cty < nt)
+        if cx:
+            ok = ok & (sx != 0)
+        if cy:
+            ok = ok & (sy != 0)
+        slot = tile_slot[jnp.where(ok, ctx * nt + cty, nt * nt)]
+        ok = ok & (slot < T)
+        rel = ci_sub - orig[jnp.minimum(slot, T - 1)] * f       # [N, 2]
+        idx = jnp.where(ok, (slot * Wf + rel[:, 0]) * Wf + rel[:, 1],
+                        T * Wf * Wf)
+        g6t = g6t.at[idx].add(payload, mode="drop")
+    g6k = g6t.reshape(T, Wf, Wf, 6)
+
+    # ---- pool tile grids to each sub-level -----------------------------
+    sub_grids = {k: g6k}
+    for j in range(k - 1, 0, -1):
+        w_j = W * (1 << j)
+        sub_grids[j] = (sub_grids[j + 1]
+                        .reshape(T, w_j, 2, w_j, 2, 6).sum((2, 4)))
+
+    # ---- per-tile chain: upsample window locals + sub-level M2L --------
+    s_D = size / rD
+    corner_t = corner[None, :] + orig.astype(dtype) * s_D   # [T, 2]
+    size_w = W * s_D
+
+    def m2l_tile(g6_j, c_t):
+        return _m2l_level(tuple(g6_j[..., i] for i in range(6)),
+                          c_t, size_w, eps_sq, radius)
+
+    for j in range(1, k + 1):
+        s_child = s_D / (1 << j)
+        loc_t = tuple(local_w[..., i] for i in range(9))
+        up = jax.vmap(_l2l_upsample, in_axes=(0, None))(loc_t, s_child)
+        terms = jax.vmap(m2l_tile)(sub_grids[j], corner_t)
+        local_w = jnp.stack(tuple(a + b for a, b in zip(up, terms)),
+                            axis=-1)                 # [T, W*2^j, ..., 9]
+
+    # ---- fold the tile aggregate ring into the tile locals -------------
+    rr_full = radius - 1
+    if rr_full >= 2:
+        def fold_tile(lw, g6_j, c_t):
+            window = tuple(jnp.pad(g6_j[..., i], rr_full) for i in range(6))
+            out = _fold_aggregate_ring(
+                tuple(lw[..., i] for i in range(9)), window, c_t, size_w,
+                Wf, eps_sq, radius, jnp.int32(0), Wf)
+            return jnp.stack(out, axis=-1)
+
+        local_w = jax.vmap(fold_tile)(local_w, g6k, corner_t)
+
+    # ---- per-particle refined evaluation -------------------------------
+    slot_home = tile_slot[tid]
+    refined = (slot_home < T) & b_par
+    sc = jnp.minimum(slot_home, T - 1)
+    rel = jnp.clip(ci_sub - orig[sc] * f, 0, Wf - 1)
+
+    s_k = s_D / f
+    centx = corner[0] + (ci_sub[:, 0].astype(dtype) + 0.5) * s_k
+    centy = corner[1] + (ci_sub[:, 1].astype(dtype) + 0.5) * s_k
+    dxp = pos[:, 0] - centx
+    dyp = pos[:, 1] - centy
+    loc_flat = local_w.reshape(T * Wf * Wf, 9)
+    g9 = loc_flat[(sc * Wf + rel[:, 0]) * Wf + rel[:, 1]]    # [N, 9]
+    (fx_g, fy_g, jxx_g, jxy_g, jyy_g,
+     hxxx_g, hxxy_g, hxyy_g, hyyy_g) = (g9[:, i] for i in range(9))
+    far_x = (fx_g + jxx_g * dxp + jxy_g * dyp
+             + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
+                      + hxyy_g * dyp * dyp))
+    far_y = (fy_g + jxy_g * dxp + jyy_g * dyp
+             + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
+                      + hyyy_g * dyp * dyp))
+    far_ref = jnp.stack([far_x, far_y], axis=-1)
+
+    rin = min(radius - 1, 1)   # inner 3x3; the ring folded into local_w
+    g6kp = jnp.pad(g6k, ((0, 0), (rin, rin), (rin, rin), (0, 0)))
+    stride = Wf + 2 * rin
+    base = (sc * stride + rel[:, 0] + rin) * stride + rel[:, 1] + rin
+    near_ref = _aggregate_window_eval(
+        g6kp.reshape(-1, 6), base, stride, payload, pos,
+        eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
+    return refined, far_ref, near_ref
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
                                              "near_cap", "radius",
                                              "nf_pallas", "interpret",
-                                             "deep_levels"))
+                                             "deep_levels", "tile_levels",
+                                             "tile_size", "tile_count"))
 def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                       near_cap: int, radius: int,
                       nf_pallas: bool = False, interpret: bool = False,
-                      deep_levels: int = 0):
+                      deep_levels: int = 0, tile_levels: int = 0,
+                      tile_size: int = 32, tile_count: int = 8):
     n = pos.shape[0]
     ext = _extract_heavy_outliers(pos, mass)
     is_heavy, h_pos, h_mass = ext["is_heavy"], ext["h_pos"], ext["h_mass"]
@@ -912,17 +1155,36 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                 bmask = bmask | hotp[ox:ox + res, oy:oy + res]
         b_par = bmask.reshape(-1)[flat]                        # [N]
 
-        far_deep = g_const * _l2p_eval(local_deep, ci_f, pos, corner,
-                                       size, deep)
         payload = _moment_payload(pos, mass)
         rrd = radius - 1
+        rin = min(rrd, 1)   # inner aggregate window; ring folds into L2P
+        wring = tuple(jnp.pad(g, rrd) for g in grids[deep])
+        # NOTE: the tile path below must see the UN-folded local_deep —
+        # its sub-level chain re-decomposes exactly the window the fold
+        # covers (folding first would double-count the cheb>=2 ring).
+        local_agg = _fold_aggregate_ring(
+            local_deep, wring, corner, size, 1 << deep, eps_sq, radius,
+            row0=jnp.int32(0), rows=1 << deep)
+        far_deep = g_const * _l2p_eval(local_agg, ci_f, pos, corner,
+                                       size, deep)
         g6_pad = jnp.pad(jnp.stack(grids[deep], axis=-1),
-                         ((rrd, rrd), (rrd, rrd), (0, 0)))
+                         ((rin, rin), (rin, rin), (0, 0)))
         deep_near = g_const * _deep_near_aggregates(
             pos, payload, g6_pad, ci_f, eps_sq,
-            size / (1 << deep), rr=rrd)
+            size / (1 << deep), rr=rin)
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)
+
+        if tile_levels:
+            # Hot-zone sub-box refinement: 2^tile_levels finer smoothing
+            # inside the T hottest tiles (see _tile_refine).
+            refined, far_ref, near_ref = _tile_refine(
+                pos, payload, bulk_pos, ci_f, b_par, local_deep,
+                corner, size, deep, radius, eps_sq,
+                k=tile_levels, t=tile_size, T=tile_count)
+            sel = refined[:, None]
+            far = jnp.where(sel, g_const * far_ref, far)
+            near = jnp.where(sel, g_const * near_ref, near)
 
     # NOTE: without deep mode, overflow beyond the residual capacity
     # silently degrades; the device tunnel rejects host callbacks
@@ -1009,12 +1271,15 @@ def bh_accelerations(pos: jax.Array, mass: jax.Array,
         return bh3_accelerations(pos, mass, config)
     n = pos.shape[0]
     levels = _resolve_levels(config, n)
+    deep = _resolve_deep_levels(config, levels)
+    radius = _resolve_radius(config)
+    tk, tt, tc = _resolve_tile_params(config, deep, radius)
     return _bh_accelerations(
         pos, mass, levels=levels, eps_sq=float(config.eps_sq),
         g_const=float(config.g_const), near_cap=NEAR_CAP,
-        radius=_resolve_radius(config),
+        radius=radius,
         nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret,
-        deep_levels=_resolve_deep_levels(config, levels),
+        deep_levels=deep, tile_levels=tk, tile_size=tt, tile_count=tc,
     )
 
 
@@ -1035,6 +1300,29 @@ def _resolve_deep_levels(config: SimConfig, levels: int) -> int:
     if d < 0:
         d = levels + 2
     return max(levels + 1, min(d, _MAX_DEEP_2D)) if d > levels else 0
+
+
+def _resolve_tile_params(config: SimConfig, deep: int,
+                         radius: int) -> Tuple[int, int, int]:
+    """(k sub-levels, tile side t, tile count T) for the hot-zone sub-box
+    refinement; (0, 0, 0) disables. Auto (bh_tile_levels=-1) refines 3
+    levels (8x finer smoothing) whenever the deep chain is on. t shrinks
+    until the deep grid holds at least max(T, 4) tiles; tiles disable if
+    that pushes t below the 2R window-halo minimum or t does not divide
+    the deep grid."""
+    k = config.bh_tile_levels
+    if deep == 0 or k == 0:
+        return 0, 0, 0
+    if k < 0:
+        k = 3
+    t = config.bh_tile_size
+    r_d = 1 << deep
+    count = config.bh_tile_count
+    while t > 2 and (r_d // max(t, 1)) ** 2 < max(count, 4):
+        t //= 2
+    if t < 2 * radius or t <= 0 or r_d % t:
+        return 0, 0, 0
+    return k, t, count
 
 
 def _nf_use_pallas(config: SimConfig) -> bool:

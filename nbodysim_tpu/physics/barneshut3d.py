@@ -120,18 +120,20 @@ def _m2l_level3(g10, corner, size, eps_sq, radius: int):
 
 
 def _m2l_stencil3(window, corner, size, r_full: int, eps_sq, radius: int,
-                  row0, rows: int):
+                  row0, rows: int, offsets=None, gate_parity: bool = True,
+                  pad: int | None = None):
     """V-list stencil over an x-banded window of raw moment grids.
 
     `window`: the 10 raw moment grids, [rows + 2p, r_full + 2p, r_full + 2p]
-    each (p = 2*radius - 1): the `rows` target x-slabs plus p halo slabs on
-    each side (zeros beyond the global grid) and p zero-padded y/z faces.
-    `row0` is the global x index of the first target slab (traced; the
-    banded multi-chip path passes my_band * rows). Output terms are
-    [rows, r_full, r_full]. Mirrors the 2D `_m2l_stencil`
-    (barneshut.py:123)."""
+    each (p = 2*radius - 1, or `pad` when given): the `rows` target x-slabs
+    plus p halo slabs on each side (zeros beyond the global grid) and p
+    zero-padded y/z faces. `row0` is the global x index of the first
+    target slab (traced; the banded multi-chip path passes my_band *
+    rows). Output terms are [rows, r_full, r_full]. Mirrors the 2D
+    `_m2l_stencil` (barneshut.py:136), including its offsets/gate_parity/
+    pad generalization used by the deep-aggregate ring fold."""
     R = radius
-    p = 2 * R - 1
+    p = 2 * R - 1 if pad is None else pad
     dtype = window[0].dtype
 
     m_w = window[0]
@@ -154,14 +156,13 @@ def _m2l_stencil3(window, corner, size, r_full: int, eps_sq, radius: int,
     cz = corner[2] + (kk.astype(dtype) + 0.5) * s_l
     parx, pary, parz = ii & 1, jj & 1, kk & 1
 
-    offsets = jnp.array(
-        [(ox, oy, oz)
-         for ox in range(-p, p + 1)
-         for oy in range(-p, p + 1)
-         for oz in range(-p, p + 1)
-         if max(abs(ox), abs(oy), abs(oz)) >= R],
-        jnp.int32,
-    )
+    if offsets is None:
+        offsets = [(ox, oy, oz)
+                   for ox in range(-p, p + 1)
+                   for oy in range(-p, p + 1)
+                   for oz in range(-p, p + 1)
+                   if max(abs(ox), abs(oy), abs(oz)) >= R]
+    offsets = jnp.array(offsets, jnp.int32)
 
     def body(carry, o):
         (fx, fy, fz, jxx, jxy, jxz, jyy, jyz, jzz,
@@ -173,18 +174,20 @@ def _m2l_stencil3(window, corner, size, r_full: int, eps_sq, radius: int,
         sy = lax.dynamic_slice(com[1], start, shape)
         sz = lax.dynamic_slice(com[2], start, shape)
         sq = [lax.dynamic_slice(q_w[i], start, shape) for i in range(6)]
-        # Boundary ring (cheb == 2R-1): parity-gated for exactly-once
-        # coverage (source's parent inside the parent-level near set).
-        cheb = jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)), jnp.abs(oz))
-        pxo = (ox + parx) >> 1
-        pyo = (oy + pary) >> 1
-        pzo = (oz + parz) >> 1
-        pm_ok = ((jnp.abs(pxo) <= R - 1) & (jnp.abs(pyo) <= R - 1)
-                 & (jnp.abs(pzo) <= R - 1))
-        keep = (cheb < 2 * R - 1) | pm_ok
-        ms = jnp.where(keep, ms, 0.0)
-        sqxx, sqxy, sqxz, sqyy, sqyz, sqzz = (
-            jnp.where(keep, s, 0.0) for s in sq)
+        if gate_parity:
+            # Boundary ring (cheb == 2R-1): parity-gated for exactly-once
+            # coverage (source's parent inside the parent-level near set).
+            cheb = jnp.maximum(jnp.maximum(jnp.abs(ox), jnp.abs(oy)),
+                               jnp.abs(oz))
+            pxo = (ox + parx) >> 1
+            pyo = (oy + pary) >> 1
+            pzo = (oz + parz) >> 1
+            pm_ok = ((jnp.abs(pxo) <= R - 1) & (jnp.abs(pyo) <= R - 1)
+                     & (jnp.abs(pzo) <= R - 1))
+            keep = (cheb < 2 * R - 1) | pm_ok
+            ms = jnp.where(keep, ms, 0.0)
+            sq = [jnp.where(keep, s, 0.0) for s in sq]
+        sqxx, sqxy, sqxz, sqyy, sqyz, sqzz = sq
 
         dx = sx - cx
         dy = sy - cy
@@ -500,13 +503,23 @@ def _m2l_conv3(gx, corner, size, r_full: int, eps_sq, radius: int,
     # back to physical units: F, J, H scale as s_l^-(2, 3, 4).
     inv_s = 1.0 / s_l
     s2 = inv_s * inv_s
-    term_scale = jnp.concatenate(
-        (jnp.full((3,), s2, dtype), jnp.full((6,), s2 * inv_s, dtype),
-         jnp.full((10,), s2 * s2, dtype)))
-    out = (out.reshape(hb, h, h, 2, 2, 2, 19) * term_scale
-           ).transpose(0, 3, 1, 4, 2, 5, 6).reshape(
-               rows, r_full, r_full, 19)
-    return tuple(out[..., i] for i in range(19))
+    scales = (s2,) * 3 + (s2 * inv_s,) * 6 + (s2 * s2,) * 10
+    # De-space-to-depth PER TERM with per-axis interleaves (see the 2D
+    # _m2l_conv epilogue: the one-shot [..., 19] transpose + size-1 minor
+    # slices pad catastrophically under TPU tiling).
+    terms = []
+    for t in range(19):
+        a = {(c, d, e): out[:, ((4 * c + 2 * d + e) * 19 + t)]
+             .reshape(hb, h, h) for c in (0, 1) for d in (0, 1)
+             for e in (0, 1)}
+        # interleave z, then y, then x
+        az = {(c, d): jnp.stack([a[(c, d, 0)], a[(c, d, 1)]], axis=-1)
+              .reshape(hb, h, r_full) for c in (0, 1) for d in (0, 1)}
+        ay = {c: jnp.stack([az[(c, 0)], az[(c, 1)]], axis=2)
+              .reshape(hb, r_full, r_full) for c in (0, 1)}
+        terms.append(jnp.stack([ay[0], ay[1]], axis=1)
+                     .reshape(rows, r_full, r_full) * scales[t])
+    return tuple(terms)
 
 
 def _taylor_eval3(local19, ex, ey, ez):
@@ -773,6 +786,18 @@ def _deep_near_aggregates3(pos, payload, gp, ci_deep, eps_sq, s_d,
     ix = jnp.clip(ci_deep[:, 0] - row0, 0, rows - 1) + rr
     iy = ci_deep[:, 1] + rr
     iz = ci_deep[:, 2] + rr
+    base = (ix * side + iy) * side + iz
+    return _aggregate_window_eval3(gp, base, side, payload, pos, eps_sq,
+                                   rr)
+
+
+def _aggregate_window_eval3(gp_flat, base, side, payload, pos, eps_sq,
+                            rr: int):
+    """(2rr+1)^3 smoothed cell-aggregate kick shared by the full-grid deep
+    path and the tile-refined path (3D instance of
+    barneshut._aggregate_window_eval). gp_flat: [M, 10] flattened padded
+    moment cells; base: [N] flat home-cell index; side: padded y/z side
+    length (x stride = side^2). eps_sq arrives ALREADY widened."""
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     ax = jnp.zeros_like(px)
     ay = jnp.zeros_like(py)
@@ -780,7 +805,7 @@ def _deep_near_aggregates3(pos, payload, gp, ci_deep, eps_sq, s_d,
     for ox in range(-rr, rr + 1):
         for oy in range(-rr, rr + 1):
             for oz in range(-rr, rr + 1):
-                ch = gp[((ix + ox) * side + (iy + oy)) * side + (iz + oz)]
+                ch = gp_flat[base + ((ox * side + oy) * side + oz)]
                 if ox == 0 and oy == 0 and oz == 0:
                     ch = ch - payload
                 m = ch[:, 0]
@@ -845,14 +870,226 @@ def _l2p_eval3(local, ci, pos, corner, size, level: int):
     return jnp.stack(ev[:3], axis=-1)
 
 
+def _fold_aggregate_ring3(local, window, corner, size, r_full: int, eps_sq,
+                          radius: int, row0, rows: int):
+    """3D instance of barneshut._fold_aggregate_ring: fold the cheb >= 2
+    shell of the smoothed aggregate window into the local expansion as a
+    dense stencil (27 - ... -> 27 gathers shrink to the inner 3^3). No-op
+    at the 3D default R=2 (rr=1: the window IS the inner 3^3)."""
+    from nbodysim_tpu.physics.barneshut import _DEEP_SMOOTH
+
+    rr = radius - 1
+    if rr < 2:
+        return local
+    s_d = size / r_full
+    eps_w = eps_sq + _DEEP_SMOOTH * s_d * s_d
+    ring = [(ox, oy, oz)
+            for ox in range(-rr, rr + 1)
+            for oy in range(-rr, rr + 1)
+            for oz in range(-rr, rr + 1)
+            if max(abs(ox), abs(oy), abs(oz)) >= 2]
+    terms = _m2l_stencil3(window, corner, size, r_full, eps_w, radius,
+                          row0=row0, rows=rows, offsets=ring,
+                          gate_parity=False, pad=rr)
+    return tuple(a + b for a, b in zip(local, terms))
+
+
+def _tile_select3(ci_f, b_par, deep: int, t: int, T: int, radius: int):
+    """Top-T t^3-cell tiles by deep-path-target count (3D instance of
+    barneshut._tile_select)."""
+    rD = 1 << deep
+    nt = rD // t
+    tx = ci_f[:, 0] // t
+    ty = ci_f[:, 1] // t
+    tz = ci_f[:, 2] // t
+    tid = (tx * nt + ty) * nt + tz
+    scores = (jnp.zeros((nt ** 3,), jnp.int32)
+              .at[tid].add(b_par.astype(jnp.int32)))
+    top_s, top_i = lax.top_k(scores, T)
+    valid_tile = top_s > 0
+    tile_slot = (jnp.full((nt ** 3 + 1,), T, jnp.int32)
+                 .at[jnp.where(valid_tile, top_i, nt ** 3)]
+                 .set(jnp.arange(T, dtype=jnp.int32), mode="drop"))
+    orig = (jnp.stack([top_i // (nt * nt), (top_i // nt) % nt,
+                       top_i % nt], axis=-1) * t - radius)       # [T, 3]
+    return tid, tile_slot, orig
+
+
+def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
+                tid, tile_slot, orig, corner, size, deep: int, radius: int,
+                eps_sq, k: int, t: int, T: int):
+    """Per-tile chain + refined evaluation for the 3D octree (mirrors
+    barneshut._tile_eval; see _tile_refine3 / the 2D docstring)."""
+    from nbodysim_tpu.physics.barneshut import (_DEEP_SMOOTH,
+                                                _aggregate_window_eval)
+
+    dtype = pos.dtype
+    rD = 1 << deep
+    H = radius
+    W = t + 2 * H
+    f = 1 << k
+    Wf = W * f
+    nt = rD // t
+    tx = ci_f[:, 0] // t
+    ty = ci_f[:, 1] // t
+    tz = ci_f[:, 2] // t
+    u = (bulk_pos - corner) / size
+    ci_sub = jnp.clip((u * (rD * f)).astype(jnp.int32), 0, rD * f - 1)
+
+    # ---- scatter moments into tile windows (8 halo-direction cands) ----
+    mx = ci_f[:, 0] % t
+    my = ci_f[:, 1] % t
+    mz = ci_f[:, 2] % t
+    sx = jnp.where(mx < H, -1, jnp.where(mx >= t - H, 1, 0))
+    sy = jnp.where(my < H, -1, jnp.where(my >= t - H, 1, 0))
+    sz = jnp.where(mz < H, -1, jnp.where(mz >= t - H, 1, 0))
+
+    g10t = jnp.zeros((T * Wf ** 3, 10), dtype)
+    for cx, cy, cz in ((a, b, c) for a in (0, 1) for b in (0, 1)
+                       for c in (0, 1)):
+        ctx = tx + (sx if cx else 0)
+        cty = ty + (sy if cy else 0)
+        ctz = tz + (sz if cz else 0)
+        ok = ((ctx >= 0) & (ctx < nt) & (cty >= 0) & (cty < nt)
+              & (ctz >= 0) & (ctz < nt))
+        if cx:
+            ok = ok & (sx != 0)
+        if cy:
+            ok = ok & (sy != 0)
+        if cz:
+            ok = ok & (sz != 0)
+        slot = tile_slot[jnp.where(ok, (ctx * nt + cty) * nt + ctz,
+                                   nt ** 3)]
+        ok = ok & (slot < T)
+        rel = ci_sub - orig[jnp.minimum(slot, T - 1)] * f       # [N, 3]
+        idx = jnp.where(
+            ok, ((slot * Wf + rel[:, 0]) * Wf + rel[:, 1]) * Wf
+            + rel[:, 2], T * Wf ** 3)
+        g10t = g10t.at[idx].add(payload, mode="drop")
+    g10k = g10t.reshape(T, Wf, Wf, Wf, 10)
+
+    # ---- pool tile grids to each sub-level -----------------------------
+    sub_grids = {k: g10k}
+    for j in range(k - 1, 0, -1):
+        w_j = W * (1 << j)
+        sub_grids[j] = (sub_grids[j + 1]
+                        .reshape(T, w_j, 2, w_j, 2, w_j, 2, 10)
+                        .sum((2, 4, 6)))
+
+    # ---- per-tile chain: upsample window locals + sub-level M2L --------
+    s_D = size / rD
+    corner_t = corner[None, :] + orig.astype(dtype) * s_D   # [T, 3]
+    size_w = W * s_D
+
+    def m2l_tile(g10_j, c_t):
+        return _m2l_level3(g10_j, c_t, size_w, eps_sq, radius)
+
+    for j in range(1, k + 1):
+        s_child = s_D / (1 << j)
+        loc_t = tuple(local_w[..., i] for i in range(19))
+        up = jax.vmap(_l2l_upsample3, in_axes=(0, None))(loc_t, s_child)
+        terms = jax.vmap(m2l_tile)(sub_grids[j], corner_t)
+        local_w = jnp.stack(tuple(a + b for a, b in zip(up, terms)),
+                            axis=-1)                # [T, W*2^j, .., 19]
+
+    # ---- fold the tile aggregate ring into the tile locals -------------
+    rr_full = radius - 1
+    if rr_full >= 2:
+        def fold_tile(lw, g10_j, c_t):
+            window = tuple(jnp.pad(g10_j[..., i], rr_full)
+                           for i in range(10))
+            out = _fold_aggregate_ring3(
+                tuple(lw[..., i] for i in range(19)), window, c_t,
+                size_w, Wf, eps_sq, radius, jnp.int32(0), Wf)
+            return jnp.stack(out, axis=-1)
+
+        local_w = jax.vmap(fold_tile)(local_w, g10k, corner_t)
+
+    # ---- per-particle refined evaluation -------------------------------
+    slot_home = tile_slot[tid]
+    refined = (slot_home < T) & b_par
+    sc = jnp.minimum(slot_home, T - 1)
+    rel = jnp.clip(ci_sub - orig[sc] * f, 0, Wf - 1)
+
+    s_k = s_D / f
+    cent = corner[None, :] + (ci_sub.astype(dtype) + 0.5) * s_k
+    d = pos - cent
+    loc_flat = local_w.reshape(T * Wf ** 3, 19)
+    g19 = loc_flat[((sc * Wf + rel[:, 0]) * Wf + rel[:, 1]) * Wf
+                   + rel[:, 2]]                                 # [N, 19]
+    ev = _taylor_eval3(tuple(g19[:, i] for i in range(19)),
+                       d[:, 0], d[:, 1], d[:, 2])
+    far_ref = jnp.stack(ev[:3], axis=-1)
+
+    rin = min(radius - 1, 1)   # inner 3^3; ring folded into local_w
+    g10kp = jnp.pad(g10k, ((0, 0), (rin, rin), (rin, rin), (rin, rin),
+                           (0, 0)))
+    side = Wf + 2 * rin
+    base = (((sc * side) + rel[:, 0] + rin) * side + rel[:, 1] + rin
+            ) * side + rel[:, 2] + rin
+    near_ref = _aggregate_window_eval3(
+        g10kp.reshape(-1, 10), base, side, payload, pos,
+        eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
+    return refined, far_ref, near_ref
+
+
+def _tile_refine3(pos, payload, bulk_pos, ci_f, b_par, local_deep,
+                  corner, size, deep: int, radius: int, eps_sq,
+                  k: int, t: int, T: int):
+    """Hot-zone sub-box refinement for the octree (3D instance of
+    barneshut._tile_refine — see its docstring; this is what lets
+    clustered 3D scenes keep tree-speed evals with core smoothing 2^k
+    finer than the HBM-capped 256^3 global deep grid)."""
+    H = radius
+    tid, tile_slot, orig = _tile_select3(ci_f, b_par, deep, t, T, radius)
+
+    locD = jnp.stack(local_deep, axis=-1)               # [rD, rD, rD, 19]
+    locDp = jnp.pad(locD, ((H, H), (H, H), (H, H), (0, 0)))
+
+    def slice_tile(o):
+        return lax.dynamic_slice(
+            locDp, (o[0] + H, o[1] + H, o[2] + H, 0),
+            (t + 2 * H, t + 2 * H, t + 2 * H, 19))
+
+    local_w = jax.vmap(slice_tile)(orig)                # [T, W, W, W, 19]
+    return _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
+                       tid, tile_slot, orig, corner, size, deep, radius,
+                       eps_sq, k=k, t=t, T=T)
+
+
+def _resolve_tile_params3(config: SimConfig, deep: int,
+                          radius: int) -> Tuple[int, int, int]:
+    """3D tile parameters (see barneshut._resolve_tile_params): the
+    default tile side is 8 deep cells (a 32-ish side would make W^3
+    sub-grids enormous; 8 + 2R halo at k=3 is a 96^3 window, ~35 MB of
+    moments for 8 tiles)."""
+    k = config.bh_tile_levels
+    if deep == 0 or k == 0:
+        return 0, 0, 0
+    if k < 0:
+        k = 3
+    t = config.bh_tile_size
+    if t == 32:      # 2D-oriented default; 3D wants a smaller side
+        t = 8
+    r_d = 1 << deep
+    count = config.bh_tile_count
+    while t > 2 and (r_d // max(t, 1)) ** 3 < max(count, 8):
+        t //= 2
+    if t < 2 * radius or t <= 0 or r_d % t:
+        return 0, 0, 0
+    return k, t, count
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
                                              "near_cap", "radius",
                                              "nf_pallas", "interpret",
-                                             "deep_levels"))
+                                             "deep_levels", "tile_levels",
+                                             "tile_size", "tile_count"))
 def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                        near_cap: int, radius: int,
                        nf_pallas: bool = False, interpret: bool = False,
-                       deep_levels: int = 0):
+                       deep_levels: int = 0, tile_levels: int = 0,
+                       tile_size: int = 8, tile_count: int = 8):
     n = pos.shape[0]
     ext = _extract_heavy_outliers(pos, mass)
     is_heavy, h_pos, h_mass = ext["is_heavy"], ext["h_pos"], ext["h_mass"]
@@ -927,18 +1164,36 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                                          oz:oz + res]
         b_par = bmask.reshape(-1)[flat]                        # [N]
 
-        far_deep = g_const * _l2p_eval3(local_deep, ci_f, pos, corner,
-                                        size, deep)
         payload = _moment_payload3(pos, tree_mass)
         rrd = radius - 1
+        rin = min(rrd, 1)   # inner aggregate window; ring folds into L2P
         g10_deep = (jnp.stack(grids[deep], axis=-1)
                     if isinstance(grids[deep], tuple) else grids[deep])
+        # NOTE: the tile path below must see the UN-folded local_deep —
+        # its sub-level chain re-decomposes exactly what the fold covers.
+        wring = tuple(jnp.pad(g10_deep[..., i], rrd) for i in range(10))
+        local_agg = _fold_aggregate_ring3(
+            local_deep, wring, corner, size, 1 << deep, eps_sq, radius,
+            row0=jnp.int32(0), rows=1 << deep)
+        far_deep = g_const * _l2p_eval3(local_agg, ci_f, pos, corner,
+                                        size, deep)
         g10_pad = jnp.pad(g10_deep,
-                          ((rrd, rrd), (rrd, rrd), (rrd, rrd), (0, 0)))
+                          ((rin, rin), (rin, rin), (rin, rin), (0, 0)))
         deep_near = g_const * _deep_near_aggregates3(
-            pos, payload, g10_pad, ci_f, eps_sq, size / (1 << deep), rr=rrd)
+            pos, payload, g10_pad, ci_f, eps_sq, size / (1 << deep), rr=rin)
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)
+
+        if tile_levels:
+            # Hot-zone sub-box refinement: 2^tile_levels finer smoothing
+            # inside the T hottest tiles (see _tile_refine3).
+            refined, far_ref, near_ref = _tile_refine3(
+                pos, payload, bulk_pos, ci_f, b_par, local_deep,
+                corner, size, deep, radius, eps_sq,
+                k=tile_levels, t=tile_size, T=tile_count)
+            sel = refined[:, None]
+            far = jnp.where(sel, g_const * far_ref, far)
+            near = jnp.where(sel, g_const * near_ref, near)
 
     acc = jnp.where(is_out[:, None], 0.0,
                     far + near + acc_from_out) + acc_heavy
@@ -982,12 +1237,15 @@ def bh3_accelerations(pos: jax.Array, mass: jax.Array,
     from nbodysim_tpu.physics.barneshut import _nf_use_pallas
 
     levels = _resolve_levels3(config, pos.shape[0])
+    deep = _resolve_deep_levels3(config, levels)
+    radius = _resolve_radius3(config)
+    tk, tt, tc = _resolve_tile_params3(config, deep, radius)
     return _bh3_accelerations(
         pos, mass, levels=levels, eps_sq=float(config.eps_sq),
         g_const=float(config.g_const), near_cap=NEAR_CAP,
-        radius=_resolve_radius3(config),
+        radius=radius,
         nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret,
-        deep_levels=_resolve_deep_levels3(config, levels))
+        deep_levels=deep, tile_levels=tk, tile_size=tt, tile_count=tc)
 
 
 _MAX_DEEP_3D = 8   # 256^3 moment grid = 670 MB f32; 512^3 would be 5.4 GB

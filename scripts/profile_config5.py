@@ -13,7 +13,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# Make the repo importable regardless of cwd WITHOUT PYTHONPATH (setting
+# PYTHONPATH breaks the axon TPU plugin registration — measured r3).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -170,19 +176,95 @@ def main():
 
     time_stage("L2P bucket gather", l2p, loc_b, reps=args.reps)
 
-    loc_d = tuple(jax.device_put(jnp.zeros((1 << deep, 1 << deep),
-                                           jnp.float32)) for _ in range(9))
+    # (the standalone deep-level L2P graph hung the AOT compile helper in
+    # r3 profiling — its cost is the whole-minus-parts remainder instead)
 
-    def l2p_d(*loc):
-        return bh._l2p_eval(loc, ci_f, bulk_pos, corner_, size_, deep)
+    # ---- ring-fold stencil at the deep level ---------------------------
+    radius_ = radius
 
-    time_stage("L2P deep gather", l2p_d, loc_d, reps=args.reps)
+    def fold(*g6):
+        wring = tuple(jnp.pad(g, radius_ - 1) for g in g6)
+        loc = tuple(jnp.zeros(((1 << deep),) * 2, jnp.float32)
+                    for _ in range(9))
+        return bh._fold_aggregate_ring(
+            loc, wring, corner_, size_, 1 << deep, eps_sq, radius_,
+            row0=jnp.int32(0), rows=1 << deep)
+
+    time_stage(f"fold ring stencil ({1 << deep}^2)", fold,
+               tuple(jax.device_put(x) for x in grids[deep]),
+               reps=args.reps)
+
+    # ---- tile stage breakdown ------------------------------------------
+    tk, tt, tc = bh._resolve_tile_params(config, deep, radius)
+    if tk:
+        b_par = jnp.ones((n,), bool)    # worst-case: everyone deep-path
+        tid, tile_slot, orig = jax.jit(
+            lambda c, b: bh._tile_select(c, b, deep, tt, tc, radius)
+        )(ci_f, b_par)
+        payload2 = jax.jit(bh._moment_payload)(bulk_pos, tree_mass)
+
+        def tile_all(pos_, payload_):
+            loc = tuple(
+                jnp.zeros(((1 << deep),) * 2, jnp.float32)
+                for _ in range(9))
+            return bh._tile_refine(pos_, payload_, pos_, ci_f, b_par,
+                                   loc, corner_, size_, deep, radius_,
+                                   eps_sq, k=tk, t=tt, T=tc)
+
+        time_stage("tile stage TOTAL (select+scatter+chain+eval)",
+                   tile_all, (bulk_pos, payload2), reps=args.reps)
+
+        H = radius
+        W = tt + 2 * H
+        f_sub = 1 << tk
+        Wf = W * f_sub
+
+        def tile_scatter(payload_):
+            rD = 1 << deep
+            nt = rD // tt
+            u2 = (bulk_pos - corner_) / size_
+            ci_sub = jnp.clip((u2 * (rD * f_sub)).astype(jnp.int32), 0,
+                              rD * f_sub - 1)
+            tx = ci_f[:, 0] // tt
+            ty = ci_f[:, 1] // tt
+            mx = ci_f[:, 0] % tt
+            my2 = ci_f[:, 1] % tt
+            sx = jnp.where(mx < H, -1, jnp.where(mx >= tt - H, 1, 0))
+            sy = jnp.where(my2 < H, -1, jnp.where(my2 >= tt - H, 1, 0))
+            g6t = jnp.zeros((tc * Wf * Wf, 6), jnp.float32)
+            for cx, cy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                ctx = tx + (sx if cx else 0)
+                cty = ty + (sy if cy else 0)
+                ok = (ctx >= 0) & (ctx < nt) & (cty >= 0) & (cty < nt)
+                if cx:
+                    ok = ok & (sx != 0)
+                if cy:
+                    ok = ok & (sy != 0)
+                slot = tile_slot[jnp.where(ok, ctx * nt + cty, nt * nt)]
+                ok = ok & (slot < tc)
+                rel = ci_sub - orig[jnp.minimum(slot, tc - 1)] * f_sub
+                idx = jnp.where(
+                    ok, (slot * Wf + rel[:, 0]) * Wf + rel[:, 1],
+                    tc * Wf * Wf)
+                g6t = g6t.at[idx].add(payload_, mode="drop")
+            return g6t
+
+        time_stage("tile 4-candidate moment scatter", tile_scatter,
+                   (payload2,), reps=args.reps)
 
     # ---- whole eval for reference -------------------------------------
     def whole(pos_, mass_):
         return bh.bh_accelerations(pos_, mass_, config)
 
-    time_stage("WHOLE bh eval (deep on)", whole, (pos, mass),
+    time_stage("WHOLE bh eval (deep+tiles on)", whole, (pos, mass),
+               reps=args.reps)
+
+    cfg_nt = config.replace(bh_tile_levels=0)
+
+    def whole_nt(pos_, mass_):
+        return bh.bh_accelerations(pos_, mass_, cfg_nt)
+
+    time_stage("WHOLE bh eval (tiles off)", whole_nt, (pos, mass),
                reps=args.reps)
 
 

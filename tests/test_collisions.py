@@ -120,6 +120,78 @@ def test_grid_pass_matches_dense():
         np.asarray(grid.vel), np.asarray(dense.vel), atol=1e-4)
 
 
+def test_hash_radius_scaled_cells_merger_occupancy():
+    """Clustered-scene collision story (VERDICT r2 #4): at merger-class
+    occupancy (thousands of particles inside one 600-unit cell), the
+    sorted hash with radius-scaled cells (collision_cell_size=0) must
+    conserve momentum exactly (symmetric Jacobi), match the dense oracle,
+    and actually resolve the overlapping pairs."""
+    import jax
+
+    k = jax.random.split(jax.random.PRNGKey(11), 4)
+    n = 2048
+    # A 200-unit-radius blob: all inside ONE 600-unit reference cell, with
+    # particle radii ~2 so real overlaps exist but occupancy per
+    # radius-scaled cell (~4 units) stays small.
+    pos = 200.0 * jax.random.normal(k[0], (n, 2)).astype(jnp.float32)
+    vel = jax.random.uniform(k[1], (n, 2), jnp.float32, -20.0, 20.0)
+    mass = jax.random.uniform(k[2], (n,), jnp.float32, 0.5, 2.0)
+    radius = jax.random.uniform(k[3], (n,), jnp.float32, 1.0, 2.0)
+    state = ParticleState.create(pos, vel, mass, radius)
+
+    cfg = _cfg(collision_cell_size=0.0)
+    out = _grid_pass(state, cfg)
+    p0 = np.asarray(jnp.sum(state.vel * state.mass[:, None], axis=0))
+    p1 = np.asarray(jnp.sum(out.vel * out.mass[:, None], axis=0))
+    np.testing.assert_allclose(p1, p0, atol=2e-2 * np.abs(p0).max())
+
+    dense = _dense_pass(state, cfg)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(dense.pos),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(dense.vel),
+                               atol=1e-3)
+    # Some pairs really overlapped and were resolved.
+    assert np.abs(np.asarray(out.vel) - np.asarray(state.vel)).max() > 0.1
+
+
+def test_auto_switches_to_hash_on_bucket_overflow():
+    """The occupancy probe flips clustered 2D large-N scenes to the hash
+    broad phase with radius-scaled cells (and warns)."""
+    import warnings
+
+    import jax
+
+    from nbodysim_tpu.physics import collisions as cmod
+
+    k = jax.random.split(jax.random.PRNGKey(3), 2)
+    n = 4096
+    # A tight blob plus far outliers: the span-scaled bucket cell becomes
+    # ~3900 units, so the whole blob lands in one cell (merger-nuclei
+    # geometry) and overflows the slot cap.
+    pos = 50.0 * jax.random.normal(k[0], (n, 2)).astype(jnp.float32)
+    pos = pos.at[0].set(jnp.array([1e6, 0.0]))
+    pos = pos.at[1].set(jnp.array([-1e6, 0.0]))
+    state = ParticleState.create(
+        pos, jnp.zeros((n, 2)), jnp.ones((n,)), jnp.full((n,), 1.0))
+    cfg = _cfg()
+    # Shrink the thresholds so the probe path runs at test scale.
+    orig_thr, orig_cap = cmod.DENSE_THRESHOLD, cmod._OVERFLOW_CAP
+    cmod.DENSE_THRESHOLD, cmod._OVERFLOW_CAP = 1024, 64
+    try:
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = cmod.resolve_collision_phase_for_state(state, cfg)
+        assert out.collision_broad_phase == "hash"
+        assert out.collision_cell_size == 0.0
+        assert any("sorted" in str(x.message) for x in w)
+        # Explicit choices are honored untouched.
+        cfg_b = cfg.replace(collision_broad_phase="bucket")
+        assert cmod.resolve_collision_phase_for_state(
+            state, cfg_b) is cfg_b
+    finally:
+        cmod.DENSE_THRESHOLD, cmod._OVERFLOW_CAP = orig_thr, orig_cap
+
+
 def test_resolve_collisions_dispatch():
     state = _state([[0., 0.], [1.5, 0.]], [[1., 0.], [-1., 0.]],
                    [1., 1.], [1., 1.])

@@ -82,6 +82,53 @@ def test_deep_clustered_bounded_and_cool_targets_exact():
     assert np.isfinite(a).all()
 
 
+def test_tile_refinement_improves_clustered_accuracy():
+    """Hot-zone sub-box tiles (VERDICT r2 #2): on a clustered scene the
+    tiled deep chain must be strictly more accurate than the plain deep
+    chain (2^k finer PM smoothing inside the hot tiles), and inert on
+    scenes with no hot cells."""
+    n = 4096
+    pos, mass = _clustered(n)
+    cfg0 = SimConfig(n=n, bh_levels=5, bh_deep_levels=7, bh_tile_levels=0,
+                     force_backend="bh")
+    cfg3 = SimConfig(n=n, bh_levels=5, bh_deep_levels=7, bh_tile_levels=3,
+                     bh_tile_size=16, force_backend="bh")
+    a_d = np.asarray(direct_accelerations(pos, mass, eps_sq=EPS_SQ,
+                                          g_const=1.0))
+    nrm = np.linalg.norm(a_d, axis=1) + 1e-12
+    e0 = np.median(np.linalg.norm(
+        np.asarray(bh.bh_accelerations(pos, mass, cfg0)) - a_d, axis=1)
+        / nrm)
+    e3 = np.median(np.linalg.norm(
+        np.asarray(bh.bh_accelerations(pos, mass, cfg3)) - a_d, axis=1)
+        / nrm)
+    assert e3 < 0.7 * e0, (e3, e0)
+
+    # Inert without hot cells: uniform scene, tiles on == tiles off.
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    up = jax.random.uniform(k1, (2048, 2), jnp.float32, -4000.0, 4000.0)
+    um = jax.random.uniform(k2, (2048,), jnp.float32, 0.1, 10.0)
+    u0 = np.asarray(bh.bh_accelerations(up, um, cfg0.replace(n=2048)))
+    u3 = np.asarray(bh.bh_accelerations(up, um, cfg3.replace(n=2048)))
+    assert np.allclose(u0, u3, rtol=1e-4, atol=1e-7)
+
+
+def test_tile_params_resolution():
+    cfg = SimConfig(n=1024)
+    # off when the deep chain is off
+    assert bh._resolve_tile_params(cfg, 0, 3) == (0, 0, 0)
+    # auto: 3 sub-levels at the 2D default tile size
+    assert bh._resolve_tile_params(cfg, 10, 3) == (3, 32, 8)
+    # explicit off
+    assert bh._resolve_tile_params(
+        cfg.replace(bh_tile_levels=0), 10, 3) == (0, 0, 0)
+    # tiny deep grids shrink the tile until enough tiles exist...
+    k, t, c = bh._resolve_tile_params(cfg, 6, 3)
+    assert k == 3 and t * max(1, (1 << 6) // t) <= 1 << 6 and t >= 6
+    # ...and disable when t would drop below the 2R halo minimum
+    assert bh._resolve_tile_params(cfg, 3, 3) == (0, 0, 0)
+
+
 def test_auto_resolution_enables_deep_chain():
     from nbodysim_tpu.physics.forces import resolve_config_for_state
 

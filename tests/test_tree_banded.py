@@ -120,6 +120,21 @@ def test_banded_deep_chain_two_device_mesh(eight_devices):
     _check(pos, mass, cfg, n_dev=2)
 
 
+def test_banded_tile_refinement_matches(eight_devices):
+    """Hot-zone tile refinement under banding: the replicated tile chain
+    + psum-assembled local windows must reproduce the single-chip tiled
+    result (here to roundoff — the tile stage is replicated arithmetic)."""
+    pos, mass = _clustered(4096)
+    cfg = SimConfig(n=4096, bh_levels=5, bh_deep_levels=7,
+                    bh_tile_levels=3, bh_tile_size=16, force_backend="bh")
+    _check(pos, mass, cfg)
+    # Tiles must actually engage: the untiled deep tree disagrees.
+    cfg0 = cfg.replace(bh_tile_levels=0)
+    a_t = np.asarray(bh_accelerations(pos, mass, cfg))
+    a_0 = np.asarray(bh_accelerations(pos, mass, cfg0))
+    assert np.abs(a_t - a_0).max() > 1e-3 * np.abs(a_t).max()
+
+
 def test_banded_fallback_small_grid(eight_devices):
     """Grids too small to band (res/P < halo) fall back to the replicated
     tree and still match."""
@@ -221,13 +236,28 @@ def test_banded3_two_device_mesh(eight_devices):
 
 def test_banded3_deep_chain_matches(eight_devices):
     """3D deep-overflow chain under x-slab banding matches the single-chip
-    octree deep path to roundoff on a clustered scene."""
+    octree deep path to roundoff on a clustered scene. bh_tile_levels=0
+    keeps this a pure deep-chain test (tiles covered separately)."""
     pos, mass = _clustered(4096, dim=3)
     cfg = SimConfig(n=4096, dim=3, bh_levels=5, bh_deep_levels=7,
-                    force_backend="bh")
+                    bh_tile_levels=0, force_backend="bh")
     _check3(pos, mass, cfg)
     cfg0 = SimConfig(n=4096, dim=3, bh_levels=5, bh_deep_levels=0,
                      force_backend="bh")
     a_deep = np.asarray(bh_accelerations(pos, mass, cfg))
     a_flat = np.asarray(bh_accelerations(pos, mass, cfg0))
     assert np.abs(a_deep - a_flat).max() > 1e-3 * np.abs(a_deep).max()
+
+
+def test_banded3_tile_refinement_matches(eight_devices):
+    """3D hot-zone tile refinement under banding matches the single-chip
+    tiled octree (small shapes: the tiled 3D graph is compile-heavy on the
+    virtual CPU mesh, so P=2 and k=2)."""
+    pos, mass = _clustered(2048, dim=3)
+    cfg = SimConfig(n=2048, dim=3, bh_levels=4, bh_deep_levels=6,
+                    bh_tile_levels=2, force_backend="bh")
+    _check3(pos, mass, cfg, n_dev=2)
+    cfg0 = cfg.replace(bh_tile_levels=0)
+    a_t = np.asarray(bh_accelerations(pos, mass, cfg))
+    a_0 = np.asarray(bh_accelerations(pos, mass, cfg0))
+    assert np.abs(a_t - a_0).max() > 1e-3 * np.abs(a_t).max()
