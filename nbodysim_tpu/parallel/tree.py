@@ -16,10 +16,17 @@ distributed-memory TPU conclusion.)
 Why static row bands load-balance even clustered scenes: the M2L and
 near-field stencils are dense over the GRID — their cost per row is fixed
 by (res, cap, R), independent of particle placement. Clustering moves
-particles between cells, not compute between rows. The only O(N) stages
-(global cell sort, bucket scatter, L2P/near gathers) are memory-bound and
-stay replicated in this version; measured at N=1M they are ~10% of the
-single-chip eval (STATUS.md round-1 breakdown).
+particles between cells, not compute between rows. The formerly
+replicated O(N log N) cell sort and the O(N) bucket scatter / L2P / near
+gathers now run on a COMPACTED per-band window set (see `_field_stage`):
+an O(N) cumsum+scatter selects the band+halo window particles into a
+static capacity-C buffer (C ~ _BAND_SLACK * N * rows_w / res) and only
+those are sorted, scattered, and gathered. Per-device cost model:
+O(N) bandwidth-bound prep (cell indices, masks, moment scatter — the
+all_gather is O(N) anyway) + O(N/P log N/P) sort + O(N/P) field stages +
+O(coarse) replicated levels. When clustering overfills the capacity, a
+lax.cond falls back to the full-length sort — correct at any
+distribution, just not compute-scaled on that device.
 
 Exactness: each pairwise/cell contribution is computed on exactly one
 device, accumulated into a full-length [N, D] buffer, and `lax.psum`
@@ -67,6 +74,29 @@ from nbodysim_tpu.physics.barneshut import (
     _tile_select,
     heavy_coupling,
 )
+
+
+# Window-compaction slack: per-band sorted-set capacity is
+# ceil(_BAND_SLACK * N * rows_w / res) — covers a 4x particle imbalance
+# between bands before the in-jit lax.cond falls back to the full-length
+# sort (correct at any distribution, just not compute-scaled).
+_BAND_SLACK = 4
+
+
+def compact_capacity(n: int, rows_w: int, res: int,
+                     slack: int | None = None) -> int:
+    """Static per-band sorted-window capacity C (the banded tree's
+    per-device sort/scatter/gather length): C = ceil(slack * n * rows_w /
+    res) + 1, rounded up to a 1024 multiple, clamped to n. C >= n means
+    the compaction cannot pay for itself and the static full-length sort
+    is used instead. This is the op-count model of the banded field
+    stages: per-device work is O(n) prep + O(C log C) sort + O(C) field
+    gathers, with C -> slack * n * rows_w / res = O(n / P) as res grows
+    (rows_w = rb + 2*rr = res/P + 2*(radius-1))."""
+    if slack is None:
+        slack = _BAND_SLACK
+    cap = min(n, -(-slack * n * rows_w // res) + 1)
+    return min(n, -(-cap // 1024) * 1024)
 
 
 def banded_tree_accelerations(
@@ -173,9 +203,21 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                     if (1 << l) % p_dev == 0 and (1 << l) // p_dev >= p]
     ls = min(shard_levels)         # contiguous {ls..build} by monotonicity
 
-    g6 = (jnp.zeros((rb_b * res_b, 6), pos.dtype)
-          .at[bflat].add(_moment_payload(bulk_pos, tree_mass), mode="drop")
-          .reshape(rb_b, res_b, 6))
+    if deep:
+        # Deep-mode build: 3-channel scatter + synthesized quadrupoles at
+        # the finest level, matching barneshut._build_pyramid(synth_quad).
+        from nbodysim_tpu.physics.barneshut import _synth_quad_channels
+
+        g3 = (jnp.zeros((rb_b * res_b, 3), pos.dtype)
+              .at[bflat].add(_moment_payload(bulk_pos, tree_mass)[:, :3],
+                             mode="drop")
+              .reshape(rb_b, res_b, 3))
+        g6 = _synth_quad_channels(g3)
+    else:
+        g6 = (jnp.zeros((rb_b * res_b, 6), pos.dtype)
+              .at[bflat].add(_moment_payload(bulk_pos, tree_mass),
+                             mode="drop")
+              .reshape(rb_b, res_b, 6))
     band_grids = {build_levels: tuple(g6[:, :, i] for i in range(6))}
     for l in range(build_levels - 1, ls - 1, -1):
         r_l = 1 << l
@@ -240,130 +282,181 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
     local_deep = local if deep else None
     local = local_bucket
 
-    # ---------------- L2P on band particles (one fused 9-term gather) ---
+    # ---------------- far + near field over the sorted window set -------
+    # The global cell argsort was the banded path's largest replicated
+    # O(N log N) stage (round-2 review: replicated O(N) stages cap strong
+    # scaling). `_field_stage` evaluates the far-field L2P, the bucket
+    # scatter/stencil/gather, and the overflow residual over a SORTED
+    # WINDOW SET of length L — by default the compacted band+halo window
+    # particles (an O(N) cumsum + scatter picks them; only those C ~
+    # slack * N * rows_w / res get sorted, O(C log C)). A lax.cond falls
+    # back to the full-length sort when clustering overfills the window
+    # capacity; both branches return the same [N, 2] band contribution
+    # and each (target, source) direction is still computed on exactly
+    # one device, so exactness holds at ANY distribution. Slot
+    # assignment matches the single-chip path bit-for-bit: the stable
+    # argsort of the compacted set preserves ascending original index
+    # within each cell, exactly like the stable global argsort.
     s_l = size / res
-    cellx, celly = ci[:, 0], ci[:, 1]
-    lrow = cellx - row0
-    in_band = (lrow >= 0) & (lrow < rb) & ~is_out
-    lr = jnp.clip(lrow, 0, rb - 1)
-    centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
-    centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
-    dxp = pos[:, 0] - centx
-    dyp = pos[:, 1] - centy
-    loc9 = jnp.stack(local, axis=0).reshape(9, rb * res)
-    g = loc9[:, lr * res + celly]                           # [9, N]
-    (fx_g, fy_g, jxx_g, jxy_g, jyy_g,
-     hxxx_g, hxxy_g, hxyy_g, hyyy_g) = (g[i] for i in range(9))
-    far_x = (fx_g + jxx_g * dxp + jxy_g * dyp
-             + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
-                      + hxyy_g * dyp * dyp))
-    far_y = (fy_g + jxy_g * dxp + jyy_g * dyp
-             + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
-                      + hyyy_g * dyp * dyp))
-    far = g_const * jnp.stack([far_x, far_y], axis=-1)
-    contrib = jnp.where(in_band[:, None], far, 0.0)         # [N, 2]
-
-    # ---------------- near field: banded bucket window ------------------
-    # Global cell sort (replicated; identical slot assignment to the
-    # single-chip path), scatter into my band+halo row window, K x K
-    # stencil on band rows only, gather band particles.
-    flat_nf = jnp.where(is_out, res * res + jnp.arange(n), flat)
-    order = jnp.argsort(flat_nf)
-    flat_s = flat_nf[order]
-    first = sorted_first_occurrence(flat_s)
-    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    in_cap = slot < near_cap
-    slot_w = jnp.where(in_cap, slot, near_cap)
-
-    pos_s = pos[order]
-    mass_s = tree_mass[order]
-    ci_s = ci[order]
-    is_bulk_s = flat_s < res * res
-
     rows_w = rb + 2 * rr
-    wrow_nf = ci_s[:, 0] - row0 + rr
-    in_win = is_bulk_s & (wrow_nf >= 0) & (wrow_nf < rows_w)
-    wflat = jnp.where(in_win, wrow_nf * res + ci_s[:, 1], rows_w * res)
+    flat_nf = jnp.where(is_out, res * res + jnp.arange(n), flat)
+    loc9 = jnp.stack(local, axis=0).reshape(9, rb * res)
 
-    zero_m = jnp.where(in_cap, mass_s, 0.0)
-    brow = ci_s[:, 0] - row0
-    g_mask = is_bulk_s & (brow >= 0) & (brow < rb) & in_cap
-    slot_c = jnp.minimum(slot, near_cap - 1)
-    col_s = ci_s[:, 1]
-    if nf_pallas and rr >= 1:
-        # Scatter straight into the kernel's slot-major flat layout (see
-        # barneshut._near_field_buckets — same fast path, band-sized).
-        from nbodysim_tpu.kernels.nearfield import (
-            _FlatLayout, bucket_stencil_pallas_flat)
+    def _field_stage(src, valid_s):
+        ll = src.shape[0]
+        srcc = jnp.minimum(src, n - 1)
+        flat_s = jnp.where(valid_s, flat_nf[srcc],
+                           jnp.int32(res * res) + n)
+        first = sorted_first_occurrence(flat_s)
+        slot = jnp.arange(ll, dtype=jnp.int32) - first.astype(jnp.int32)
+        in_cap = slot < near_cap
+        slot_w = jnp.where(in_cap, slot, near_cap)
 
-        layout = _FlatLayout(rb, res, near_cap, rr, 1024)
-        pf = jnp.where(in_win, layout.flat_index(wrow_nf, col_s),
-                       layout.f_len)
+        pos_s = pos[srcc]
+        mass_s = tree_mass[srcc]
+        ci_s = ci[srcc]
+        is_bulk_s = valid_s & (flat_s < res * res)
 
-        def scat_f(v):
-            return (jnp.zeros((near_cap, layout.f_len), pos.dtype)
-                    .at[slot_w, pf].set(v, mode="drop"))
+        wrow_nf = ci_s[:, 0] - row0 + rr
+        in_win = is_bulk_s & (wrow_nf >= 0) & (wrow_nf < rows_w)
+        wflat = jnp.where(in_win, wrow_nf * res + ci_s[:, 1],
+                          rows_w * res)
 
-        outx, outy = bucket_stencil_pallas_flat(
-            scat_f(pos_s[:, 0]), scat_f(pos_s[:, 1]), scat_f(zero_m),
-            layout, eps_sq=eps_sq, interpret=interpret)
-        opos = jnp.minimum(
-            jnp.where(g_mask, layout.out_index(jnp.clip(brow, 0, rb - 1),
-                                               col_s), 0),
-            outx.shape[1] - 1)
-        ax_s = jnp.where(g_mask, outx[slot_c, opos], 0.0)
-        ay_s = jnp.where(g_mask, outy[slot_c, opos], 0.0)
+        zero_m = jnp.where(in_cap, mass_s, 0.0)
+        brow = ci_s[:, 0] - row0
+        g_mask = is_bulk_s & (brow >= 0) & (brow < rb) & in_cap
+        slot_c = jnp.minimum(slot, near_cap - 1)
+        col_s = ci_s[:, 1]
+        if nf_pallas and rr >= 1:
+            # Scatter straight into the kernel's slot-major flat layout
+            # (barneshut._near_field_buckets — same fast path, band-sized).
+            from nbodysim_tpu.kernels.nearfield import (
+                _FlatLayout, bucket_stencil_pallas_flat)
+
+            layout = _FlatLayout(rb, res, near_cap, rr, 1024)
+            pf = jnp.where(in_win, layout.flat_index(wrow_nf, col_s),
+                           layout.f_len)
+
+            def scat_f(v):
+                return (jnp.zeros((near_cap, layout.f_len), pos.dtype)
+                        .at[slot_w, pf].set(v, mode="drop"))
+
+            outx, outy = bucket_stencil_pallas_flat(
+                scat_f(pos_s[:, 0]), scat_f(pos_s[:, 1]), scat_f(zero_m),
+                layout, eps_sq=eps_sq, interpret=interpret)
+            opos = jnp.minimum(
+                jnp.where(g_mask,
+                          layout.out_index(jnp.clip(brow, 0, rb - 1),
+                                           col_s), 0),
+                outx.shape[1] - 1)
+            ax_s = jnp.where(g_mask, outx[slot_c, opos], 0.0)
+            ay_s = jnp.where(g_mask, outy[slot_c, opos], 0.0)
+        else:
+            def nf_scat(vals):
+                return (jnp.zeros((rows_w * res, near_cap), pos.dtype)
+                        .at[wflat, slot_w].set(vals, mode="drop")
+                        .reshape(rows_w, res, near_cap))
+
+            accx, accy = _bucket_stencil_dispatch(
+                nf_scat(pos_s[:, 0]), nf_scat(pos_s[:, 1]),
+                nf_scat(zero_m),
+                rr, eps_sq, rb, False, interpret)          # [rb, res, K]
+            gidx = jnp.clip(brow, 0, rb - 1) * res + col_s
+            ax_s = jnp.where(
+                g_mask, accx.reshape(rb * res, near_cap)[gidx, slot_c],
+                0.0)
+            ay_s = jnp.where(
+                g_mask, accy.reshape(rb * res, near_cap)[gidx, slot_c],
+                0.0)
+        acc_s = jnp.stack([ax_s, ay_s], axis=-1)              # sorted
+
+        # ---- per-band overflow residual --------------------------------
+        # Same structure as the single-chip residual (barneshut.py), band-
+        # decomposed so every (target, overflow-source) DIRECTION is
+        # computed on exactly one device: (b) my-band targets <- window
+        # overflow sources; (c) my-band overflow targets <- all in-cap
+        # sources (the cheb <= rr cell mask keeps both to true near
+        # pairs). Capacity is per band, so the banded tree tolerates P x
+        # more clustering than the single chip before degrading.
+        m_cap = min(ll, _OVERFLOW_CAP)
+        over_w = (~in_cap) & in_win
+        n_over = jnp.sum(over_w)
+        tgt_band = is_bulk_s & (brow >= 0) & (brow < rb)
+
+        def residual(acc_s):
+            o_idx = jnp.argsort(~over_w)[:m_cap]  # window overflow first
+            o_valid = over_w[o_idx]
+            o_pos = pos_s[o_idx]
+            o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
+            o_cell = ci_s[o_idx]
+            # (b): my band's targets gain the window-overflow part.
+            dp = _near_masked_blocked(pos_s, ci_s, o_pos, o_mass, o_cell,
+                                      eps_sq, rr)
+            acc_s = acc_s + jnp.where(tgt_band[:, None], dp, 0.0)
+            # (c): my band's overflow targets gain the in-cap part.
+            o_band = (o_valid & (o_cell[:, 0] >= row0)
+                      & (o_cell[:, 0] < row0 + rb))
+            cap_mass = jnp.where(in_cap & is_bulk_s, mass_s, 0.0)
+            o_acc = _near_masked_blocked(o_pos, o_cell, pos_s, cap_mass,
+                                         ci_s, eps_sq, rr)
+            return acc_s.at[o_idx].add(
+                jnp.where(o_band[:, None], o_acc, 0.0))
+
+        if not deep:   # the deep path covers overflow targets instead
+            acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
+
+        # ---- far-field L2P on band rows of the window set --------------
+        cellx, celly = ci_s[:, 0], ci_s[:, 1]
+        in_band_s = tgt_band
+        lr = jnp.clip(brow, 0, rb - 1)
+        centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
+        centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
+        dxp = pos_s[:, 0] - centx
+        dyp = pos_s[:, 1] - centy
+        g = loc9[:, lr * res + celly]                       # [9, L]
+        (fx_g, fy_g, jxx_g, jxy_g, jyy_g,
+         hxxx_g, hxxy_g, hxyy_g, hyyy_g) = (g[i] for i in range(9))
+        far_x = (fx_g + jxx_g * dxp + jxy_g * dyp
+                 + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
+                          + hxyy_g * dyp * dyp))
+        far_y = (fy_g + jxy_g * dxp + jyy_g * dyp
+                 + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
+                          + hyyy_g * dyp * dyp))
+        far = jnp.stack([far_x, far_y], axis=-1)
+        total = g_const * (jnp.where(in_band_s[:, None], far, 0.0)
+                           + acc_s)
+        return (jnp.zeros((n, 2), pos.dtype)
+                .at[jnp.where(valid_s, src, n)]
+                .add(jnp.where(valid_s[:, None], total, 0.0),
+                     mode="drop"))
+
+    in_win_u = ((~is_out) & (ci[:, 0] - row0 >= -rr)
+                & (ci[:, 0] - row0 < rb + rr))
+    c_cap = compact_capacity(n, rows_w, res)
+    all_valid = jnp.ones((n,), bool)
+    if deep or c_cap >= n:
+        contrib = _field_stage(jnp.argsort(flat_nf), all_valid)
     else:
-        def nf_scat(vals):
-            return (jnp.zeros((rows_w * res, near_cap), pos.dtype)
-                    .at[wflat, slot_w].set(vals, mode="drop")
-                    .reshape(rows_w, res, near_cap))
+        rank = jnp.cumsum(in_win_u) - 1
+        n_win = jnp.sum(in_win_u)
+        widx = (jnp.full((c_cap,), n, jnp.int32)
+                .at[jnp.where(in_win_u & (rank < c_cap), rank, c_cap)]
+                .set(jnp.arange(n, dtype=jnp.int32), mode="drop"))
 
-        accx, accy = _bucket_stencil_dispatch(
-            nf_scat(pos_s[:, 0]), nf_scat(pos_s[:, 1]), nf_scat(zero_m),
-            rr, eps_sq, rb, False, interpret)              # [rb, res, K]
-        gidx = jnp.clip(brow, 0, rb - 1) * res + col_s
-        ax_s = jnp.where(
-            g_mask, accx.reshape(rb * res, near_cap)[gidx, slot_c], 0.0)
-        ay_s = jnp.where(
-            g_mask, accy.reshape(rb * res, near_cap)[gidx, slot_c], 0.0)
-    acc_s = jnp.stack([ax_s, ay_s], axis=-1)                  # sorted
+        def compact_stage(_):
+            keys = jnp.where(widx < n,
+                             flat_nf[jnp.minimum(widx, n - 1)],
+                             jnp.int32(res * res) + n)
+            oc = jnp.argsort(keys)
+            return _field_stage(widx[oc], widx[oc] < n)
 
-    # ---------------- per-band overflow residual ------------------------
-    # Same structure as the single-chip residual (barneshut.py), band-
-    # decomposed so every (target, overflow-source) DIRECTION is computed
-    # on exactly one device: (b) my-band targets <- window overflow
-    # sources; (c) my-band overflow targets <- all in-cap sources (the
-    # cheb <= rr cell mask keeps both to true near pairs). Capacity is per
-    # band, so the banded tree tolerates P x more clustering than the
-    # single chip before degrading.
-    m_cap = min(n, _OVERFLOW_CAP)
-    over_w = (~in_cap) & in_win
-    n_over = jnp.sum(over_w)
-    tgt_band = is_bulk_s & (brow >= 0) & (brow < rb)
+        def full_stage(_):
+            return _field_stage(jnp.argsort(flat_nf), all_valid)
 
-    def residual(acc_s):
-        o_idx = jnp.argsort(~over_w)[:m_cap]    # window overflow first
-        o_valid = over_w[o_idx]
-        o_pos = pos_s[o_idx]
-        o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
-        o_cell = ci_s[o_idx]
-        # (b): my band's targets gain the window-overflow contribution.
-        dp = _near_masked_blocked(pos_s, ci_s, o_pos, o_mass, o_cell,
-                                  eps_sq, rr)
-        acc_s = acc_s + jnp.where(tgt_band[:, None], dp, 0.0)
-        # (c): my band's overflow targets gain the in-cap contribution.
-        o_band = o_valid & (o_cell[:, 0] >= row0) & (o_cell[:, 0] < row0 + rb)
-        cap_mass = jnp.where(in_cap & is_bulk_s, mass_s, 0.0)
-        o_acc = _near_masked_blocked(o_pos, o_cell, pos_s, cap_mass, ci_s,
-                                     eps_sq, rr)
-        return acc_s.at[o_idx].add(jnp.where(o_band[:, None], o_acc, 0.0))
+        contrib = lax.cond(n_win <= c_cap, compact_stage, full_stage, 0)
 
-    if not deep:   # the deep path covers overflow targets instead
-        acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
-
-    inv_order = jnp.zeros_like(order).at[order].set(jnp.arange(n))
-    contrib = contrib + g_const * acc_s[inv_order]
+    lrow = ci[:, 0] - row0
+    in_band = (lrow >= 0) & (lrow < rb) & ~is_out
 
     # ---------------- deep-overflow path (banded) -----------------------
     # Identical target selection to the single chip (occupancy over the
@@ -418,12 +511,12 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         # at the global boundary, matching its jnp.pad semantics). Inner
         # 3x3 only: the outer ring folded into local_agg above.
         rin = min(rrd, 1)
-        win6 = _halo_window(band_grids[build_levels], rin, p_dev,
+        win3 = _halo_window(band_grids[build_levels][:3], rin, p_dev,
                             axis_name)
-        gp = jnp.stack(win6, axis=-1)    # [rb_b + 2rin, res_b + 2rin, 6]
+        gp = jnp.stack(win3, axis=-1)    # [rb_b + 2rin, res_b + 2rin, 3]
         payload = _moment_payload(pos, tree_mass)
         deep_near = g_const * _deep_near_aggregates(
-            pos, payload, gp, ci_f, eps_sq, s_d, rin, row0=row0_b)
+            pos, payload[:, :3], gp, ci_f, eps_sq, s_d, rin, row0=row0_b)
 
         deep_part = jnp.where(in_band[:, None], far_deep + deep_near, 0.0)
         contrib = jnp.where((b_par & in_band)[:, None], deep_part, contrib)

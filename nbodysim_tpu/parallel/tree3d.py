@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from nbodysim_tpu.config import SimConfig
+from nbodysim_tpu.parallel.tree import compact_capacity
 from nbodysim_tpu.physics.barneshut import (
     NEAR_CAP,
     _OVERFLOW_CAP,
@@ -155,10 +156,21 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                     if (1 << l) % p_dev == 0 and (1 << l) // p_dev >= p]
     ls = min(shard_levels)         # contiguous {ls..build} by monotonicity
 
-    g10 = (jnp.zeros((rb_b * res_b * res_b, 10), pos.dtype)
-           .at[bflat].add(_moment_payload3(bulk_pos, tree_mass),
-                          mode="drop")
-           .reshape(rb_b, res_b, res_b, 10))
+    if deep:
+        # Deep-mode build: 4-channel scatter + synthesized quadrupoles
+        # (matches barneshut3d._build_pyramid3(synth_quad)).
+        from nbodysim_tpu.physics.barneshut3d import _synth_quad_channels3
+
+        g4 = (jnp.zeros((rb_b * res_b * res_b, 4), pos.dtype)
+              .at[bflat].add(_moment_payload3(bulk_pos, tree_mass)[:, :4],
+                             mode="drop")
+              .reshape(rb_b, res_b, res_b, 4))
+        g10 = _synth_quad_channels3(g4)
+    else:
+        g10 = (jnp.zeros((rb_b * res_b * res_b, 10), pos.dtype)
+               .at[bflat].add(_moment_payload3(bulk_pos, tree_mass),
+                              mode="drop")
+               .reshape(rb_b, res_b, res_b, 10))
     band_grids = {build_levels: tuple(g10[..., i] for i in range(10))}
     for l in range(build_levels - 1, ls - 1, -1):
         r_l = 1 << l
@@ -226,129 +238,176 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
     local_deep = local if deep else None
     local = local_bucket
 
-    # ---------------- L2P on band particles (one fused 19-term gather) --
+    # ---------------- far + near field over the sorted window set -------
+    # Same compacted-window design as the 2D banded tree (parallel/
+    # tree.py:_field_stage, which documents the per-device cost model and
+    # the slot-parity argument): the global cell argsort, bucket scatter,
+    # L2P and near gathers run on a static capacity-C compaction of the
+    # band+halo slab particles (O(N) cumsum+scatter to pick them,
+    # O(C log C) to sort); a lax.cond falls back to the full-length sort
+    # when clustering overfills the capacity. Both branches return the
+    # same [N, 3] band contribution — exact at any distribution.
     s_l = size / res
-    cellx, celly, cellz = ci[:, 0], ci[:, 1], ci[:, 2]
-    lrow = cellx - row0
-    in_band = (lrow >= 0) & (lrow < rb) & ~is_out
-    lr = jnp.clip(lrow, 0, rb - 1)
-    centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
-    centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
-    centz = corner[2] + (cellz.astype(pos.dtype) + 0.5) * s_l
-    dxp = pos[:, 0] - centx
-    dyp = pos[:, 1] - centy
-    dzp = pos[:, 2] - centz
-    loc19 = jnp.stack(local, axis=0).reshape(19, rb * res * res)
-    g = loc19[:, (lr * res + celly) * res + cellz]          # [19, N]
-    ev = _taylor_eval3(tuple(g[i] for i in range(19)), dxp, dyp, dzp)
-    far = g_const * jnp.stack(ev[:3], axis=-1)
-    contrib = jnp.where(in_band[:, None], far, 0.0)         # [N, 3]
-
-    # ---------------- near field: banded bucket window ------------------
-    # Global cell sort (replicated; identical slot assignment to the
-    # single-chip path), scatter into my band+halo slab window, K x K
-    # stencil on band slabs only, gather band particles.
-    flat_nf = jnp.where(is_out, res**3 + jnp.arange(n), flat)
-    order = jnp.argsort(flat_nf)
-    flat_s = flat_nf[order]
-    first = sorted_first_occurrence(flat_s)
-    slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    in_cap = slot < near_cap
-    slot_w = jnp.where(in_cap, slot, near_cap)
-
-    pos_s = pos[order]
-    mass_s = tree_mass[order]
-    ci_s = ci[order]
-    is_bulk_s = flat_s < res**3
-
     rows_w = rb + 2 * rr
-    wrow_nf = ci_s[:, 0] - row0 + rr
-    in_win = is_bulk_s & (wrow_nf >= 0) & (wrow_nf < rows_w)
-    wflat = jnp.where(in_win,
-                      (wrow_nf * res + ci_s[:, 1]) * res + ci_s[:, 2],
-                      rows_w * res * res)
+    flat_nf = jnp.where(is_out, res**3 + jnp.arange(n), flat)
+    loc19 = jnp.stack(local, axis=0).reshape(19, rb * res * res)
 
-    zero_m = jnp.where(in_cap, mass_s, 0.0)
-    brow = ci_s[:, 0] - row0
-    g_mask = is_bulk_s & (brow >= 0) & (brow < rb) & in_cap
-    slot_c = jnp.minimum(slot, near_cap - 1)
+    def _field_stage(src, valid_s):
+        ll = src.shape[0]
+        srcc = jnp.minimum(src, n - 1)
+        flat_s = jnp.where(valid_s, flat_nf[srcc],
+                           jnp.int32(res**3) + n)
+        first = sorted_first_occurrence(flat_s)
+        slot = jnp.arange(ll, dtype=jnp.int32) - first.astype(jnp.int32)
+        in_cap = slot < near_cap
+        slot_w = jnp.where(in_cap, slot, near_cap)
 
-    if nf_pallas and rr >= 1:
-        # Scatter straight into the kernel's slot-major flat layout (see
-        # barneshut3d._near_field_buckets3 — same fast path, band-sized).
-        from nbodysim_tpu.kernels.nearfield import (
-            _FlatLayout3, bucket_stencil3_pallas_flat)
+        pos_s = pos[srcc]
+        mass_s = tree_mass[srcc]
+        ci_s = ci[srcc]
+        is_bulk_s = valid_s & (flat_s < res**3)
 
-        layout = _FlatLayout3(rb, res, near_cap, rr, 512)
-        cy, cz = ci_s[:, 1], ci_s[:, 2]
-        pf = jnp.where(in_win, layout.flat_index(wrow_nf, cy, cz),
-                       layout.f_len)
+        wrow_nf = ci_s[:, 0] - row0 + rr
+        in_win = is_bulk_s & (wrow_nf >= 0) & (wrow_nf < rows_w)
+        wflat = jnp.where(in_win,
+                          (wrow_nf * res + ci_s[:, 1]) * res + ci_s[:, 2],
+                          rows_w * res * res)
 
-        def scat_f(v):
-            return (jnp.zeros((near_cap, layout.f_len), pos.dtype)
-                    .at[slot_w, pf].set(v, mode="drop"))
+        zero_m = jnp.where(in_cap, mass_s, 0.0)
+        brow = ci_s[:, 0] - row0
+        g_mask = is_bulk_s & (brow >= 0) & (brow < rb) & in_cap
+        slot_c = jnp.minimum(slot, near_cap - 1)
 
-        outx, outy, outz = bucket_stencil3_pallas_flat(
-            scat_f(pos_s[:, 0]), scat_f(pos_s[:, 1]), scat_f(pos_s[:, 2]),
-            scat_f(zero_m), layout, eps_sq=eps_sq, interpret=interpret)
-        opos = jnp.minimum(
-            jnp.where(g_mask,
-                      layout.out_index(jnp.clip(brow, 0, rb - 1), cy, cz),
-                      0),
-            outx.shape[1] - 1)
-        ax_s = jnp.where(g_mask, outx[slot_c, opos], 0.0)
-        ay_s = jnp.where(g_mask, outy[slot_c, opos], 0.0)
-        az_s = jnp.where(g_mask, outz[slot_c, opos], 0.0)
+        if nf_pallas and rr >= 1:
+            # Scatter straight into the kernel's slot-major flat layout
+            # (barneshut3d._near_field_buckets3 — same fast path,
+            # band-sized).
+            from nbodysim_tpu.kernels.nearfield import (
+                _FlatLayout3, bucket_stencil3_pallas_flat)
+
+            layout = _FlatLayout3(rb, res, near_cap, rr, 512)
+            cy, cz = ci_s[:, 1], ci_s[:, 2]
+            pf = jnp.where(in_win, layout.flat_index(wrow_nf, cy, cz),
+                           layout.f_len)
+
+            def scat_f(v):
+                return (jnp.zeros((near_cap, layout.f_len), pos.dtype)
+                        .at[slot_w, pf].set(v, mode="drop"))
+
+            outx, outy, outz = bucket_stencil3_pallas_flat(
+                scat_f(pos_s[:, 0]), scat_f(pos_s[:, 1]),
+                scat_f(pos_s[:, 2]),
+                scat_f(zero_m), layout, eps_sq=eps_sq,
+                interpret=interpret)
+            opos = jnp.minimum(
+                jnp.where(g_mask,
+                          layout.out_index(jnp.clip(brow, 0, rb - 1),
+                                           cy, cz),
+                          0),
+                outx.shape[1] - 1)
+            ax_s = jnp.where(g_mask, outx[slot_c, opos], 0.0)
+            ay_s = jnp.where(g_mask, outy[slot_c, opos], 0.0)
+            az_s = jnp.where(g_mask, outz[slot_c, opos], 0.0)
+        else:
+            def nf_scat(vals):
+                return (jnp.zeros((rows_w * res * res, near_cap),
+                                  pos.dtype)
+                        .at[wflat, slot_w].set(vals, mode="drop")
+                        .reshape(rows_w, res, res, near_cap))
+
+            accx, accy, accz = _bucket_stencil3(
+                nf_scat(pos_s[:, 0]), nf_scat(pos_s[:, 1]),
+                nf_scat(pos_s[:, 2]), nf_scat(zero_m), rr, eps_sq,
+                center_rows=rb)                       # [rb, res, res, K]
+            gidx = ((jnp.clip(brow, 0, rb - 1) * res + ci_s[:, 1]) * res
+                    + ci_s[:, 2])
+            flatten = (rb * res * res, near_cap)
+            ax_s = jnp.where(g_mask, accx.reshape(flatten)[gidx, slot_c],
+                             0.0)
+            ay_s = jnp.where(g_mask, accy.reshape(flatten)[gidx, slot_c],
+                             0.0)
+            az_s = jnp.where(g_mask, accz.reshape(flatten)[gidx, slot_c],
+                             0.0)
+        acc_s = jnp.stack([ax_s, ay_s, az_s], axis=-1)    # sorted order
+
+        # ---- per-band overflow residual --------------------------------
+        # Band-decomposed exactly like the 2D version (parallel/tree.py):
+        # every (target, overflow-source) direction is computed on exactly
+        # one device; capacity is per band, so the banded tree tolerates
+        # P x more clustering than the single chip before degrading.
+        m_cap = min(ll, _OVERFLOW_CAP)
+        over_w = (~in_cap) & in_win
+        n_over = jnp.sum(over_w)
+        tgt_band = is_bulk_s & (brow >= 0) & (brow < rb)
+
+        def residual(acc_s):
+            o_idx = jnp.argsort(~over_w)[:m_cap]  # window overflow first
+            o_valid = over_w[o_idx]
+            o_pos = pos_s[o_idx]
+            o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
+            o_cell = ci_s[o_idx]
+            # (b): my band's targets gain the window-overflow part.
+            dp = _near_masked_blocked(pos_s, ci_s, o_pos, o_mass, o_cell,
+                                      eps_sq, rr)
+            acc_s = acc_s + jnp.where(tgt_band[:, None], dp, 0.0)
+            # (c): my band's overflow targets gain the in-cap part.
+            o_band = (o_valid & (o_cell[:, 0] >= row0)
+                      & (o_cell[:, 0] < row0 + rb))
+            cap_mass = jnp.where(in_cap & is_bulk_s, mass_s, 0.0)
+            o_acc = _near_masked_blocked(o_pos, o_cell, pos_s, cap_mass,
+                                         ci_s, eps_sq, rr)
+            return acc_s.at[o_idx].add(
+                jnp.where(o_band[:, None], o_acc, 0.0))
+
+        if not deep:   # the deep path covers overflow targets instead
+            acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
+
+        # ---- far-field L2P on band slabs of the window set -------------
+        cellx, celly, cellz = ci_s[:, 0], ci_s[:, 1], ci_s[:, 2]
+        lr = jnp.clip(brow, 0, rb - 1)
+        centx = corner[0] + (cellx.astype(pos.dtype) + 0.5) * s_l
+        centy = corner[1] + (celly.astype(pos.dtype) + 0.5) * s_l
+        centz = corner[2] + (cellz.astype(pos.dtype) + 0.5) * s_l
+        dxp = pos_s[:, 0] - centx
+        dyp = pos_s[:, 1] - centy
+        dzp = pos_s[:, 2] - centz
+        g = loc19[:, (lr * res + celly) * res + cellz]      # [19, L]
+        ev = _taylor_eval3(tuple(g[i] for i in range(19)), dxp, dyp, dzp)
+        far = jnp.stack(ev[:3], axis=-1)
+        total = g_const * (jnp.where(tgt_band[:, None], far, 0.0)
+                           + acc_s)
+        return (jnp.zeros((n, 3), pos.dtype)
+                .at[jnp.where(valid_s, src, n)]
+                .add(jnp.where(valid_s[:, None], total, 0.0),
+                     mode="drop"))
+
+    in_win_u = ((~is_out) & (ci[:, 0] - row0 >= -rr)
+                & (ci[:, 0] - row0 < rb + rr))
+    c_cap = compact_capacity(n, rows_w, res)
+    all_valid = jnp.ones((n,), bool)
+    if deep or c_cap >= n:
+        contrib = _field_stage(jnp.argsort(flat_nf), all_valid)
     else:
-        def nf_scat(vals):
-            return (jnp.zeros((rows_w * res * res, near_cap), pos.dtype)
-                    .at[wflat, slot_w].set(vals, mode="drop")
-                    .reshape(rows_w, res, res, near_cap))
+        rank = jnp.cumsum(in_win_u) - 1
+        n_win = jnp.sum(in_win_u)
+        widx = (jnp.full((c_cap,), n, jnp.int32)
+                .at[jnp.where(in_win_u & (rank < c_cap), rank, c_cap)]
+                .set(jnp.arange(n, dtype=jnp.int32), mode="drop"))
 
-        accx, accy, accz = _bucket_stencil3(
-            nf_scat(pos_s[:, 0]), nf_scat(pos_s[:, 1]),
-            nf_scat(pos_s[:, 2]), nf_scat(zero_m), rr, eps_sq,
-            center_rows=rb)                           # [rb, res, res, K]
-        gidx = ((jnp.clip(brow, 0, rb - 1) * res + ci_s[:, 1]) * res
-                + ci_s[:, 2])
-        flatten = (rb * res * res, near_cap)
-        ax_s = jnp.where(g_mask, accx.reshape(flatten)[gidx, slot_c], 0.0)
-        ay_s = jnp.where(g_mask, accy.reshape(flatten)[gidx, slot_c], 0.0)
-        az_s = jnp.where(g_mask, accz.reshape(flatten)[gidx, slot_c], 0.0)
-    acc_s = jnp.stack([ax_s, ay_s, az_s], axis=-1)          # sorted order
+        def compact_stage(_):
+            keys = jnp.where(widx < n,
+                             flat_nf[jnp.minimum(widx, n - 1)],
+                             jnp.int32(res**3) + n)
+            oc = jnp.argsort(keys)
+            return _field_stage(widx[oc], widx[oc] < n)
 
-    # ---------------- per-band overflow residual ------------------------
-    # Band-decomposed exactly like the 2D version (parallel/tree.py):
-    # every (target, overflow-source) direction is computed on exactly one
-    # device; capacity is per band, so the banded tree tolerates P x more
-    # clustering than the single chip before degrading.
-    m_cap = min(n, _OVERFLOW_CAP)
-    over_w = (~in_cap) & in_win
-    n_over = jnp.sum(over_w)
-    tgt_band = is_bulk_s & (brow >= 0) & (brow < rb)
+        def full_stage(_):
+            return _field_stage(jnp.argsort(flat_nf), all_valid)
 
-    def residual(acc_s):
-        o_idx = jnp.argsort(~over_w)[:m_cap]    # window overflow first
-        o_valid = over_w[o_idx]
-        o_pos = pos_s[o_idx]
-        o_mass = jnp.where(o_valid, mass_s[o_idx], 0.0)
-        o_cell = ci_s[o_idx]
-        # (b): my band's targets gain the window-overflow contribution.
-        dp = _near_masked_blocked(pos_s, ci_s, o_pos, o_mass, o_cell,
-                                  eps_sq, rr)
-        acc_s = acc_s + jnp.where(tgt_band[:, None], dp, 0.0)
-        # (c): my band's overflow targets gain the in-cap contribution.
-        o_band = o_valid & (o_cell[:, 0] >= row0) & (o_cell[:, 0] < row0 + rb)
-        cap_mass = jnp.where(in_cap & is_bulk_s, mass_s, 0.0)
-        o_acc = _near_masked_blocked(o_pos, o_cell, pos_s, cap_mass, ci_s,
-                                     eps_sq, rr)
-        return acc_s.at[o_idx].add(jnp.where(o_band[:, None], o_acc, 0.0))
+        contrib = lax.cond(n_win <= c_cap, compact_stage, full_stage, 0)
 
-    if not deep:   # the deep path covers overflow targets instead
-        acc_s = lax.cond(n_over > 0, residual, lambda a: a, acc_s)
-
-    inv_order = jnp.zeros_like(order).at[order].set(jnp.arange(n))
-    contrib = contrib + g_const * acc_s[inv_order]
+    lrow = ci[:, 0] - row0
+    in_band = (lrow >= 0) & (lrow < rb) & ~is_out
 
     # ---------------- deep-overflow path (banded) -----------------------
     # Identical target selection to the single chip (occupancy over the
@@ -397,12 +456,12 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         # only at the global boundary, matching its jnp.pad semantics).
         # Inner 3^3 only: any outer shell folded into local_agg above.
         rin = min(rrd, 1)
-        win10 = _halo_window3(band_grids[build_levels], rin, p_dev,
-                              axis_name)
-        gpw = jnp.stack(win10, axis=-1)  # [rb_b+2rin, res_b+2rin, .., 10]
+        win4 = _halo_window3(band_grids[build_levels][:4], rin, p_dev,
+                             axis_name)
+        gpw = jnp.stack(win4, axis=-1)   # [rb_b+2rin, res_b+2rin, .., 4]
         payload = _moment_payload3(pos, tree_mass)
         deep_near = g_const * _deep_near_aggregates3(
-            pos, payload, gpw, ci_f, eps_sq, s_d, rin, row0=row0_b)
+            pos, payload[:, :4], gpw, ci_f, eps_sq, s_d, rin, row0=row0_b)
 
         deep_part = jnp.where(in_band[:, None], far_deep + deep_near, 0.0)
         contrib = jnp.where((b_par & in_band)[:, None], deep_part, contrib)

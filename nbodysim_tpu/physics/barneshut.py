@@ -92,20 +92,43 @@ def _moment_payload(pos, mass):
          mass * px * px, mass * px * py, mass * py * py), axis=-1)
 
 
-def _build_pyramid(pos, mass, levels: int):
+def _synth_quad_channels(g3):
+    """(m, sx, sy) -> 6 raw-moment channels with point-at-COM quadrupoles
+    (rxx = sx^2/m, ... — exact for single-particle cells; the COM-centered
+    quadrupole of a synthesized cell is identically zero)."""
+    m, sx, sy = g3[..., 0], g3[..., 1], g3[..., 2]
+    inv = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
+    return jnp.stack((m, sx, sy, sx * sx * inv, sx * sy * inv,
+                      sy * sy * inv), axis=-1)
+
+
+def _build_pyramid(pos, mass, levels: int, synth_quad: bool = False):
     """Mass + mass-weighted-position grids for levels L..0 (fine to coarse).
 
     The 6 moment fields scatter as ONE [N, 6]-payload scatter-add and pool
     as one stacked op per level (6 separate 1M-particle scatters were the
-    round-1 build's dominant cost)."""
+    round-1 build's dominant cost).
+
+    synth_quad=True (deep mode): scatter only (m, sx, sy) — halving the
+    scatter, the build's dominant cost at deep grids (0.37 s at N=4M,
+    4096^2) — and synthesize the quadrupole channels at the finest level
+    as point-at-COM raw moments. At deep-grid occupancy (~0.25
+    particles/cell at config 5) most cells hold one particle, where the
+    synthesis is exact; pooled upward it represents each finest cell as a
+    point at its COM, dropping only the sub-deep-cell spread."""
     corner, size = _bounding_square(pos)
     res = 1 << levels
     u = (pos - corner) / size
     ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)     # [N, 2]
     flat = ci[:, 0] * res + ci[:, 1]
 
-    g6 = jnp.zeros((res * res, 6), pos.dtype).at[flat].add(
-        _moment_payload(pos, mass)).reshape(res, res, 6)
+    if synth_quad:
+        g3 = jnp.zeros((res * res, 3), pos.dtype).at[flat].add(
+            _moment_payload(pos, mass)[:, :3]).reshape(res, res, 3)
+        g6 = _synth_quad_channels(g3)
+    else:
+        g6 = jnp.zeros((res * res, 6), pos.dtype).at[flat].add(
+            _moment_payload(pos, mass)).reshape(res, res, 6)
     grids = {levels: tuple(g6[:, :, i] for i in range(6))}
     for l in range(levels - 1, -1, -1):
         r = 1 << l
@@ -394,7 +417,11 @@ def _m2l_conv(gx, corner, size, r_full: int, eps_sq, radius: int,
             sl.reshape(-1, 24), wk, (((1,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST), None
 
-    out0 = jnp.zeros((hb * h, 36), dtype)
+    # Carry seeded FROM the input so its varying-manual-axes type matches
+    # the body output under shard_map (a plain jnp.zeros carry is
+    # unvarying and trips the scan carry typecheck when m4 is
+    # device-varying, e.g. on the replicated multi-chip fallback).
+    out0 = jnp.zeros((hb * h, 36), dtype) + 0.0 * m4[0, 0, 0]
     out, _ = lax.scan(body, out0, (po, W))
     inv_s = 1.0 / s_l
     s2 = inv_s * inv_s
@@ -787,7 +814,7 @@ def _deep_near_aggregates(pos, payload, gp, ci_deep, eps_sq, s_d,
     eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
     rows = gp.shape[0] - 2 * rr
     stride = gp.shape[1]
-    gp = gp.reshape(-1, 6)
+    gp = gp.reshape(-1, gp.shape[-1])
     row = jnp.clip(ci_deep[:, 0] - row0, 0, rows - 1) + rr
     col = ci_deep[:, 1] + rr
     base = row * stride + col
@@ -799,42 +826,50 @@ def _aggregate_window_eval(gp_flat, base, stride, payload, pos, eps_sq,
                            rr: int):
     """(2rr+1)^2 smoothed cell-aggregate kick shared by the full-grid deep
     path and the tile-refined path. gp_flat: [M, 6] flattened padded
-    moment cells; base: [N] flat index of each particle's home cell in
-    that layout; stride: row stride. eps_sq arrives ALREADY widened by the
-    Plummer-cloud term. Returns [N, 2] (un-multiplied by g_const)."""
+    moment cells — or [M, 3] (m, sx, sy) rows, in which case each cell is
+    a pure monopole at its COM (the synthesized-quadrupole build's
+    COM-centered quadrupole is identically zero, so nothing is dropped;
+    gather volume and VPU work halve — the aggregate gathers were config
+    5's dominant stage). base: [N] flat index of each particle's home
+    cell in that layout; stride: row stride; payload channel count
+    matches gp_flat. eps_sq arrives ALREADY widened by the Plummer-cloud
+    term. Returns [N, 2] (un-multiplied by g_const)."""
+    mono = gp_flat.shape[1] == 3
     px, py = pos[:, 0], pos[:, 1]
     ax = jnp.zeros_like(px)
     ay = jnp.zeros_like(py)
     for ox in range(-rr, rr + 1):
         for oy in range(-rr, rr + 1):
-            ch = gp_flat[base + (ox * stride + oy)]           # [N, 6]
+            ch = gp_flat[base + (ox * stride + oy)]       # [N, 6 or 3]
             if ox == 0 and oy == 0:
                 ch = ch - payload
             m = ch[:, 0]
             safe_m = jnp.where(m > 0, m, 1.0)
             comx = ch[:, 1] / safe_m
             comy = ch[:, 2] / safe_m
-            qxx = ch[:, 3] - m * comx * comx
-            qxy = ch[:, 4] - m * comx * comy
-            qyy = ch[:, 5] - m * comy * comy
             dx = comx - px
             dy = comy - py
             q = dx * dx + dy * dy + eps_sq
             inv = lax.rsqrt(q)
             inv3 = inv * inv * inv
+            w3 = m * inv3
+            ax = ax + w3 * dx
+            ay = ay + w3 * dy
+            if mono:
+                continue
+            qxx = ch[:, 3] - m * comx * comx
+            qxy = ch[:, 4] - m * comx * comy
+            qyy = ch[:, 5] - m * comy * comy
             inv5 = inv3 * inv * inv
             inv7 = inv5 * inv * inv
-            w3 = m * inv3
             u7 = 15.0 * inv7
             u5 = 3.0 * inv5
             txxx = u7 * dx * dx * dx - 3.0 * u5 * dx
             txxy = u7 * dx * dx * dy - u5 * dy
             txyy = u7 * dx * dy * dy - u5 * dx
             tyyy = u7 * dy * dy * dy - 3.0 * u5 * dy
-            ax = ax + w3 * dx + 0.5 * (qxx * txxx + 2.0 * qxy * txxy
-                                       + qyy * txyy)
-            ay = ay + w3 * dy + 0.5 * (qxx * txxy + 2.0 * qxy * txyy
-                                       + qyy * tyyy)
+            ax = ax + 0.5 * (qxx * txxx + 2.0 * qxy * txxy + qyy * txyy)
+            ay = ay + 0.5 * (qxx * txxy + 2.0 * qxy * txyy + qyy * tyyy)
     return jnp.stack([ax, ay], axis=-1)
 
 
@@ -959,31 +994,66 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
     sx = jnp.where(mx < H, -1, jnp.where(mx >= t - H, 1, 0))
     sy = jnp.where(my < H, -1, jnp.where(my >= t - H, 1, 0))
 
-    g6t = jnp.zeros((T * Wf * Wf, 6), dtype)
-    for cx, cy in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        dxs = sx if cx else 0
-        dys = sy if cy else 0
-        ctx = tx + dxs
-        cty = ty + dys
+    # Monopole + dipole channels only: the scatter is the tile stage's
+    # dominant cost (profiled r3: 1.02 of 1.27 s at N=4M), so halve its
+    # row width and synthesize the quadrupole channels per LEVEL from
+    # (m, sx, sy) as point-at-COM raw moments (rxx = sx^2/m, ...) — exact
+    # for single-particle cells, and the dropped intra-cell quadrupole at
+    # the tiny tile scale is far below the PM smoothing term. The three
+    # non-home (halo) candidates scatter only a COMPACT boundary subset
+    # (particles within H of a tile edge, ~1/3 of a tile) instead of all
+    # N rows; beyond the static cap, halo sources drop gracefully (edge
+    # cells lose a little neighbor mass — never their own tile's).
+    n = pos.shape[0]
+    pay3 = payload[:, :3]
+
+    def cand(cx, cy, tx_, ty_, sx_, sy_, ci_sub_):
+        ctx = tx_ + (sx_ if cx else 0)
+        cty = ty_ + (sy_ if cy else 0)
         ok = (ctx >= 0) & (ctx < nt) & (cty >= 0) & (cty < nt)
         if cx:
-            ok = ok & (sx != 0)
+            ok = ok & (sx_ != 0)
         if cy:
-            ok = ok & (sy != 0)
+            ok = ok & (sy_ != 0)
         slot = tile_slot[jnp.where(ok, ctx * nt + cty, nt * nt)]
         ok = ok & (slot < T)
-        rel = ci_sub - orig[jnp.minimum(slot, T - 1)] * f       # [N, 2]
-        idx = jnp.where(ok, (slot * Wf + rel[:, 0]) * Wf + rel[:, 1],
-                        T * Wf * Wf)
-        g6t = g6t.at[idx].add(payload, mode="drop")
-    g6k = g6t.reshape(T, Wf, Wf, 6)
+        rel = ci_sub_ - orig[jnp.minimum(slot, T - 1)] * f
+        return jnp.where(ok, (slot * Wf + rel[:, 0]) * Wf + rel[:, 1],
+                         T * Wf * Wf)
+
+    g3t = (jnp.zeros((T * Wf * Wf, 3), dtype)
+           .at[cand(0, 0, tx, ty, sx, sy, ci_sub)]
+           .add(pay3, mode="drop"))
+
+    b_cap = min(n, max(n // 4, 65536))
+    on_edge = (sx != 0) | (sy != 0)
+    bidx = jnp.argsort(~on_edge)[:b_cap]
+    b_ok = on_edge[bidx]
+    pay_b = jnp.where(b_ok[:, None], pay3[bidx], 0.0)
+    tx_b, ty_b = tx[bidx], ty[bidx]
+    sx_b, sy_b = sx[bidx], sy[bidx]
+    sub_b = ci_sub[bidx]
+    for cx, cy in ((1, 0), (0, 1), (1, 1)):
+        g3t = g3t.at[cand(cx, cy, tx_b, ty_b, sx_b, sy_b, sub_b)].add(
+            pay_b, mode="drop")
+    g3k = g3t.reshape(T, Wf, Wf, 3)
+
+    def synth6(g3):
+        """Point-at-COM raw moments: (m, sx, sy) -> 6 channels."""
+        m, sx_, sy_ = g3[..., 0], g3[..., 1], g3[..., 2]
+        inv = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
+        return jnp.stack((m, sx_, sy_, sx_ * sx_ * inv, sx_ * sy_ * inv,
+                          sy_ * sy_ * inv), axis=-1)
+
+    g6k = synth6(g3k)
 
     # ---- pool tile grids to each sub-level -----------------------------
-    sub_grids = {k: g6k}
+    pooled3 = {k: g3k}
     for j in range(k - 1, 0, -1):
         w_j = W * (1 << j)
-        sub_grids[j] = (sub_grids[j + 1]
-                        .reshape(T, w_j, 2, w_j, 2, 6).sum((2, 4)))
+        pooled3[j] = (pooled3[j + 1]
+                      .reshape(T, w_j, 2, w_j, 2, 3).sum((2, 4)))
+    sub_grids = {j: synth6(pooled3[j]) for j in range(1, k + 1)}
 
     # ---- per-tile chain: upsample window locals + sub-level M2L --------
     s_D = size / rD
@@ -1038,11 +1108,11 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
     far_ref = jnp.stack([far_x, far_y], axis=-1)
 
     rin = min(radius - 1, 1)   # inner 3x3; the ring folded into local_w
-    g6kp = jnp.pad(g6k, ((0, 0), (rin, rin), (rin, rin), (0, 0)))
+    g3kp = jnp.pad(g3k, ((0, 0), (rin, rin), (rin, rin), (0, 0)))
     stride = Wf + 2 * rin
     base = (sc * stride + rel[:, 0] + rin) * stride + rel[:, 1] + rin
     near_ref = _aggregate_window_eval(
-        g6kp.reshape(-1, 6), base, stride, payload, pos,
+        g3kp.reshape(-1, 3), base, stride, payload[:, :3], pos,
         eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
     return refined, far_ref, near_ref
 
@@ -1096,7 +1166,7 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     deep = deep_levels if deep_levels > levels else 0
     build_levels = deep if deep else levels
     grids, corner, size, ci_f, flat_f = _build_pyramid(
-        bulk_pos, mass, build_levels)
+        bulk_pos, mass, build_levels, synth_quad=bool(deep))
     res = 1 << levels
     if deep:
         ci = ci_f >> (deep - levels)           # bucket-level cell indices
@@ -1167,10 +1237,10 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
             row0=jnp.int32(0), rows=1 << deep)
         far_deep = g_const * _l2p_eval(local_agg, ci_f, pos, corner,
                                        size, deep)
-        g6_pad = jnp.pad(jnp.stack(grids[deep], axis=-1),
+        g3_pad = jnp.pad(jnp.stack(grids[deep][:3], axis=-1),
                          ((rin, rin), (rin, rin), (0, 0)))
         deep_near = g_const * _deep_near_aggregates(
-            pos, payload, g6_pad, ci_f, eps_sq,
+            pos, payload[:, :3], g3_pad, ci_f, eps_sq,
             size / (1 << deep), rr=rin)
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)

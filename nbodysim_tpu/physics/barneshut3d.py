@@ -82,17 +82,34 @@ def _moment_payload3(pos, mass):
          mass * py * py, mass * py * pz, mass * pz * pz), axis=-1)
 
 
-def _build_pyramid3(pos, mass, levels: int):
+def _synth_quad_channels3(g4):
+    """(m, sx, sy, sz) -> 10 raw-moment channels with point-at-COM
+    quadrupoles (see barneshut._synth_quad_channels)."""
+    m, sx, sy, sz = (g4[..., i] for i in range(4))
+    inv = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
+    return jnp.stack(
+        (m, sx, sy, sz, sx * sx * inv, sx * sy * inv, sx * sz * inv,
+         sy * sy * inv, sy * sz * inv, sz * sz * inv), axis=-1)
+
+
+def _build_pyramid3(pos, mass, levels: int, synth_quad: bool = False):
     """Moment grids for levels L..0 (fine to coarse), each a [r, r, r, 10]
-    array. One fused scatter at the finest level, stacked pooling above."""
+    array. One fused scatter at the finest level, stacked pooling above.
+    synth_quad: 4-channel scatter + point-at-COM quadrupole synthesis at
+    the finest level (deep mode; see barneshut._build_pyramid)."""
     corner, size = _bounding_cube(pos)
     res = 1 << levels
     u = (pos - corner) / size
     ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)     # [N, 3]
     flat = (ci[:, 0] * res + ci[:, 1]) * res + ci[:, 2]
 
-    g = jnp.zeros((res * res * res, 10), pos.dtype).at[flat].add(
-        _moment_payload3(pos, mass)).reshape(res, res, res, 10)
+    if synth_quad:
+        g4 = jnp.zeros((res ** 3, 4), pos.dtype).at[flat].add(
+            _moment_payload3(pos, mass)[:, :4]).reshape(res, res, res, 4)
+        g = _synth_quad_channels3(g4)
+    else:
+        g = jnp.zeros((res * res * res, 10), pos.dtype).at[flat].add(
+            _moment_payload3(pos, mass)).reshape(res, res, res, 10)
     grids = {levels: g}
     for l in range(levels - 1, -1, -1):
         r = 1 << l
@@ -782,7 +799,7 @@ def _deep_near_aggregates3(pos, payload, gp, ci_deep, eps_sq, s_d,
     eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
     rows = gp.shape[0] - 2 * rr
     side = gp.shape[1]
-    gp = gp.reshape(-1, 10)
+    gp = gp.reshape(-1, gp.shape[-1])
     ix = jnp.clip(ci_deep[:, 0] - row0, 0, rows - 1) + rr
     iy = ci_deep[:, 1] + rr
     iz = ci_deep[:, 2] + rr
@@ -796,8 +813,11 @@ def _aggregate_window_eval3(gp_flat, base, side, payload, pos, eps_sq,
     """(2rr+1)^3 smoothed cell-aggregate kick shared by the full-grid deep
     path and the tile-refined path (3D instance of
     barneshut._aggregate_window_eval). gp_flat: [M, 10] flattened padded
-    moment cells; base: [N] flat home-cell index; side: padded y/z side
+    moment cells — or [M, 4] (m, sx, sy, sz) rows for pure
+    monopole-at-COM cells (synthesized-quadrupole build; see the 2D
+    docstring). base: [N] flat home-cell index; side: padded y/z side
     length (x stride = side^2). eps_sq arrives ALREADY widened."""
+    mono = gp_flat.shape[1] == 4
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     ax = jnp.zeros_like(px)
     ay = jnp.zeros_like(py)
@@ -813,21 +833,26 @@ def _aggregate_window_eval3(gp_flat, base, side, payload, pos, eps_sq,
                 cx = ch[:, 1] / safe_m
                 cy = ch[:, 2] / safe_m
                 cz = ch[:, 3] / safe_m
-                qxx = ch[:, 4] - m * cx * cx
-                qxy = ch[:, 5] - m * cx * cy
-                qxz = ch[:, 6] - m * cx * cz
-                qyy = ch[:, 7] - m * cy * cy
-                qyz = ch[:, 8] - m * cy * cz
-                qzz = ch[:, 9] - m * cz * cz
                 dx = cx - px
                 dy = cy - py
                 dz = cz - pz
                 q = dx * dx + dy * dy + dz * dz + eps_sq
                 inv = lax.rsqrt(q)
                 inv3 = inv * inv * inv
+                w3 = m * inv3
+                ax = ax + w3 * dx
+                ay = ay + w3 * dy
+                az = az + w3 * dz
+                if mono:
+                    continue
+                qxx = ch[:, 4] - m * cx * cx
+                qxy = ch[:, 5] - m * cx * cy
+                qxz = ch[:, 6] - m * cx * cz
+                qyy = ch[:, 7] - m * cy * cy
+                qyz = ch[:, 8] - m * cy * cz
+                qzz = ch[:, 9] - m * cz * cz
                 inv5 = inv3 * inv * inv
                 inv7 = inv5 * inv * inv
-                w3 = m * inv3
                 u7 = 15.0 * inv7
                 u5 = 3.0 * inv5
                 txxx = u7 * dx * dx * dx - 3.0 * u5 * dx
@@ -840,13 +865,13 @@ def _aggregate_window_eval3(gp_flat, base, side, payload, pos, eps_sq,
                 tyyz = u7 * dy * dy * dz - u5 * dz
                 tyzz = u7 * dy * dz * dz - u5 * dy
                 tzzz = u7 * dz * dz * dz - 3.0 * u5 * dz
-                ax = ax + w3 * dx + 0.5 * (
+                ax = ax + 0.5 * (
                     qxx * txxx + qyy * txyy + qzz * txzz
                     + 2.0 * (qxy * txxy + qxz * txxz + qyz * txyz))
-                ay = ay + w3 * dy + 0.5 * (
+                ay = ay + 0.5 * (
                     qxx * txxy + qyy * tyyy + qzz * tyzz
                     + 2.0 * (qxy * txyy + qxz * txyz + qyz * tyyz))
-                az = az + w3 * dz + 0.5 * (
+                az = az + 0.5 * (
                     qxx * txxz + qyy * tyyz + qzz * tzzz
                     + 2.0 * (qxy * txyz + qxz * txzz + qyz * tyzz))
     return jnp.stack([ax, ay, az], axis=-1)
@@ -944,7 +969,10 @@ def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
     sy = jnp.where(my < H, -1, jnp.where(my >= t - H, 1, 0))
     sz = jnp.where(mz < H, -1, jnp.where(mz >= t - H, 1, 0))
 
-    g10t = jnp.zeros((T * Wf ** 3, 10), dtype)
+    # Monopole + dipole channels only; quadrupole channels synthesized per
+    # level as point-at-COM raw moments (see the 2D _tile_eval rationale —
+    # the scatter is the tile stage's dominant cost).
+    g4t = jnp.zeros((T * Wf ** 3, 4), dtype)
     for cx, cy, cz in ((a, b, c) for a in (0, 1) for b in (0, 1)
                        for c in (0, 1)):
         ctx = tx + (sx if cx else 0)
@@ -965,16 +993,27 @@ def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
         idx = jnp.where(
             ok, ((slot * Wf + rel[:, 0]) * Wf + rel[:, 1]) * Wf
             + rel[:, 2], T * Wf ** 3)
-        g10t = g10t.at[idx].add(payload, mode="drop")
-    g10k = g10t.reshape(T, Wf, Wf, Wf, 10)
+        g4t = g4t.at[idx].add(payload[:, :4], mode="drop")
+    g4k = g4t.reshape(T, Wf, Wf, Wf, 4)
+
+    def synth10(g4):
+        m, sx_, sy_, sz_ = (g4[..., i] for i in range(4))
+        inv = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
+        return jnp.stack(
+            (m, sx_, sy_, sz_, sx_ * sx_ * inv, sx_ * sy_ * inv,
+             sx_ * sz_ * inv, sy_ * sy_ * inv, sy_ * sz_ * inv,
+             sz_ * sz_ * inv), axis=-1)
+
+    g10k = synth10(g4k)
 
     # ---- pool tile grids to each sub-level -----------------------------
-    sub_grids = {k: g10k}
+    pooled4 = {k: g4k}
     for j in range(k - 1, 0, -1):
         w_j = W * (1 << j)
-        sub_grids[j] = (sub_grids[j + 1]
-                        .reshape(T, w_j, 2, w_j, 2, w_j, 2, 10)
-                        .sum((2, 4, 6)))
+        pooled4[j] = (pooled4[j + 1]
+                      .reshape(T, w_j, 2, w_j, 2, w_j, 2, 4)
+                      .sum((2, 4, 6)))
+    sub_grids = {j: synth10(pooled4[j]) for j in range(1, k + 1)}
 
     # ---- per-tile chain: upsample window locals + sub-level M2L --------
     s_D = size / rD
@@ -1022,13 +1061,13 @@ def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
     far_ref = jnp.stack(ev[:3], axis=-1)
 
     rin = min(radius - 1, 1)   # inner 3^3; ring folded into local_w
-    g10kp = jnp.pad(g10k, ((0, 0), (rin, rin), (rin, rin), (rin, rin),
-                           (0, 0)))
+    g4kp = jnp.pad(g4k, ((0, 0), (rin, rin), (rin, rin), (rin, rin),
+                         (0, 0)))
     side = Wf + 2 * rin
     base = (((sc * side) + rel[:, 0] + rin) * side + rel[:, 1] + rin
             ) * side + rel[:, 2] + rin
     near_ref = _aggregate_window_eval3(
-        g10kp.reshape(-1, 10), base, side, payload, pos,
+        g4kp.reshape(-1, 4), base, side, payload[:, :4], pos,
         eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
     return refined, far_ref, near_ref
 
@@ -1115,7 +1154,7 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     deep = deep_levels if deep_levels > levels else 0
     build_levels = deep if deep else levels
     grids, corner, size, ci_f, flat_f = _build_pyramid3(
-        bulk_pos, tree_mass, build_levels)
+        bulk_pos, tree_mass, build_levels, synth_quad=bool(deep))
     res = 1 << levels
     if deep:
         ci = ci_f >> (deep - levels)
@@ -1177,10 +1216,11 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
             row0=jnp.int32(0), rows=1 << deep)
         far_deep = g_const * _l2p_eval3(local_agg, ci_f, pos, corner,
                                         size, deep)
-        g10_pad = jnp.pad(g10_deep,
-                          ((rin, rin), (rin, rin), (rin, rin), (0, 0)))
+        g4_pad = jnp.pad(g10_deep[..., :4],
+                         ((rin, rin), (rin, rin), (rin, rin), (0, 0)))
         deep_near = g_const * _deep_near_aggregates3(
-            pos, payload, g10_pad, ci_f, eps_sq, size / (1 << deep), rr=rin)
+            pos, payload[:, :4], g4_pad, ci_f, eps_sq,
+            size / (1 << deep), rr=rin)
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)
 

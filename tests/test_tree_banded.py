@@ -150,6 +150,67 @@ def test_banded_two_device_mesh(eight_devices):
 
 
 # ---------------------------------------------------------------------
+# Compacted per-band window sort (VERDICT r2 #7: shard the banded tree's
+# replicated O(N) field stages)
+# ---------------------------------------------------------------------
+
+def test_compact_capacity_op_model():
+    """The per-band sorted length C is the banded field stages' op-count
+    model: C ~ slack * n * rows_w / res = O(n/P) + halo, far below n at
+    production scale and shrinking with P."""
+    from nbodysim_tpu.parallel.tree import compact_capacity
+
+    n, levels, radius = 1 << 20, 9, 3
+    res = 1 << levels
+    caps = []
+    for p in (8, 16, 32):
+        rows_w = res // p + 2 * (radius - 1)
+        caps.append(compact_capacity(n, rows_w, res))
+    assert caps[0] < (3 * n) // 5    # already compute-scaled at P=8
+    assert caps == sorted(caps, reverse=True)   # shrinks with P
+    assert caps[-1] < n // 6         # P=32: near O(n/P) + halo
+    # When C would not pay for itself (slack * rows_w / res >= 1, e.g.
+    # small meshes or coarse grids) the static full sort is used.
+    assert compact_capacity(n, res // 4 + 4, res) == n
+    assert compact_capacity(4096, 64 // 8 + 4, 64) == 4096
+
+
+def test_banded_compact_window_matches(eight_devices):
+    """Sizes where the compacted per-band window sort actually engages
+    (asserted via the capacity model): parity with the single-chip tree —
+    the stable compact argsort must assign identical bucket slots."""
+    from nbodysim_tpu.parallel.tree import compact_capacity
+
+    assert compact_capacity(8192, 64 // 8 + 4, 64) < 8192
+    pos, mass = _uniform(8192, seed=11)
+    cfg = SimConfig(n=8192, bh_levels=6, force_backend="bh")
+    _check(pos, mass, cfg)
+
+
+def test_banded_compact_fallback_clustered_band(eight_devices):
+    """All particles squeezed into a thin x-strip land in one band: that
+    band's window exceeds the compact capacity and its lax.cond falls
+    back to the full-length sort while other bands stay compact — mixed
+    branches across the mesh must still reproduce the single-chip tree."""
+    pos, mass = _uniform(8192, seed=12)
+    pos = pos * jnp.array([0.02, 1.0])
+    cfg = SimConfig(n=8192, bh_levels=6, force_backend="bh")
+    _check(pos, mass, cfg, rtol=5e-5)
+
+
+def test_banded_compact_slack_forces_fallback(eight_devices, monkeypatch):
+    """_BAND_SLACK=0 shrinks the capacity below every band's window, so
+    every device takes the full_stage branch of the runtime cond; the
+    fallback itself must be exact (it is the round-2 replicated path)."""
+    import nbodysim_tpu.parallel.tree as tree_mod
+
+    monkeypatch.setattr(tree_mod, "_BAND_SLACK", 0)
+    pos, mass = _uniform(8192, seed=13)
+    cfg = SimConfig(n=8192, bh_levels=6, force_backend="bh")
+    _check(pos, mass, cfg)
+
+
+# ---------------------------------------------------------------------
 # 3D: the x-slab-banded octree (parallel/tree3d.py)
 # ---------------------------------------------------------------------
 
@@ -232,6 +293,28 @@ def test_banded3_two_device_mesh(eight_devices):
     pos, mass = _uniform3(2048, seed=5)
     cfg = SimConfig(n=2048, dim=3, bh_levels=4, force_backend="bh")
     _check3(pos, mass, cfg, n_dev=2)
+
+
+def test_banded3_compact_window_matches(eight_devices):
+    """3D mirror of the compacted per-band window sort: sizes where the
+    compaction engages (capacity model asserted; 3D defaults to R=2 so
+    rows_w = res/P + 2) must match the single-chip octree."""
+    from nbodysim_tpu.parallel.tree import compact_capacity
+
+    assert compact_capacity(8192, 32 // 8 + 2, 32) < 8192
+    pos, mass = _uniform3(8192, seed=11)
+    cfg = SimConfig(n=8192, dim=3, bh_levels=5, force_backend="bh")
+    _check3(pos, mass, cfg)
+
+
+def test_banded3_compact_fallback_clustered_slab(eight_devices):
+    """All particles in one x-slab: the hot device's window exceeds the
+    compact capacity and falls back in-jit; mixed branches across the
+    mesh must still reproduce the single-chip octree."""
+    pos, mass = _uniform3(8192, seed=12)
+    pos = pos * jnp.array([0.02, 1.0, 1.0])
+    cfg = SimConfig(n=8192, dim=3, bh_levels=5, force_backend="bh")
+    _check3(pos, mass, cfg, rtol=5e-5)
 
 
 def test_banded3_deep_chain_matches(eight_devices):
