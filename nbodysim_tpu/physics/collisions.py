@@ -266,44 +266,73 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
         )
     n_off = offs.shape[0]
 
-    nbr_cells = cell_s[:, None, :] + offs[None, :, :]            # [N, C, D]
-    nbr_hash = _cell_hash(nbr_cells, n_buckets)                  # [N, C]
-    starts = jnp.searchsorted(h_sorted, nbr_hash.reshape(-1)).reshape(n, n_off)
+    def window_scan(tgt):
+        """Windowed 27/9-cell candidate scan for a block of target rows.
 
-    # Candidate indices: a fixed window from each neighbor segment start.
-    win = jnp.arange(window, dtype=jnp.int32)
-    cand = starts[:, :, None] + win[None, None, :]               # [N, C, W]
-    cand = cand.reshape(n, n_off * window)
-    in_range = cand < n
-    cand = jnp.minimum(cand, n - 1)
+        The [B, K(=C*W), D] candidate temps are the pass's memory
+        high-water mark; at N=4M a single-shot [N, 144, D] scan needs
+        ~47 GB of HLO temps (measured HBM OOM at config 5), so large N
+        runs this under lax.map over fixed particle chunks."""
+        cell_t, pos_t, vel_t, mass_t, radius_t, inwin_t, sidx_t = tgt
+        b = sidx_t.shape[0]
+        nbr_cells = cell_t[:, None, :] + offs[None, :, :]        # [B, C, D]
+        nbr_hash = _cell_hash(nbr_cells, n_buckets)              # [B, C]
+        starts = jnp.searchsorted(
+            h_sorted, nbr_hash.reshape(-1)).reshape(b, n_off)
 
-    # A candidate is valid if it actually lives in the probed cell's hash
-    # segment (hash matches) and is not the particle itself.
-    cand_hash = h_sorted[cand]                                   # [N, K]
-    want_hash = jnp.repeat(nbr_hash, window, axis=1)             # [N, K]
-    # Hash equality alone would scan a hash-colliding segment once per
-    # colliding neighbor offset and resolve its pairs twice; require the
-    # candidate's actual cell to match the probed neighbor cell.
-    want_cell = jnp.repeat(nbr_cells, window, axis=1)            # [N, K, D]
-    cand_cell = cell_s[cand]                                     # [N, K, D]
-    cell_match = jnp.all(cand_cell == want_cell, axis=-1)
-    self_idx = jnp.arange(n, dtype=jnp.int32)[:, None]
-    # Symmetric validity: the pair (i, j) fires iff BOTH are window-visible
-    # (and neither is big) — otherwise one side of the antisymmetric pair
-    # math would be applied alone, injecting net momentum.
-    valid = (in_range & (cand_hash == want_hash) & cell_match
-             & (cand != self_idx)
-             & in_win[:, None] & in_win[cand])
+        # Candidate indices: a fixed window from each segment start.
+        win = jnp.arange(window, dtype=jnp.int32)
+        cand = starts[:, :, None] + win[None, None, :]           # [B, C, W]
+        cand = cand.reshape(b, n_off * window)
+        in_range = cand < n
+        cand = jnp.minimum(cand, n - 1)
 
-    d = pos_s[cand] - pos_s[:, None, :]                          # [N, K, D]
-    v = vel_s[cand] - vel_s[:, None, :]
-    m_j = mass_s[cand]
-    w1 = m_j / (mass_s[:, None] + m_j)
-    r = radius_s[:, None] + radius_s[cand]
+        # A candidate is valid if it actually lives in the probed cell's
+        # hash segment (hash matches) and is not the particle itself.
+        cand_hash = h_sorted[cand]                               # [B, K]
+        want_hash = jnp.repeat(nbr_hash, window, axis=1)         # [B, K]
+        # Hash equality alone would scan a hash-colliding segment once per
+        # colliding neighbor offset and resolve its pairs twice; require
+        # the candidate's actual cell to match the probed neighbor cell.
+        want_cell = jnp.repeat(nbr_cells, window, axis=1)        # [B, K, D]
+        cand_cell = cell_s[cand]                                 # [B, K, D]
+        cell_match = jnp.all(cand_cell == want_cell, axis=-1)
+        # Symmetric validity: the pair (i, j) fires iff BOTH are
+        # window-visible (and neither is big) — otherwise one side of the
+        # antisymmetric pair math would be applied alone, injecting net
+        # momentum.
+        valid = (in_range & (cand_hash == want_hash) & cell_match
+                 & (cand != sidx_t[:, None])
+                 & inwin_t[:, None] & in_win[cand])
 
-    dpos, dvel = _pair_deltas(d, v, w1, r, valid, config.collision_impulse)
-    dpos_s = jnp.sum(dpos, axis=1)
-    dvel_s = jnp.sum(dvel, axis=1)
+        d = pos_s[cand] - pos_t[:, None, :]                      # [B, K, D]
+        v = vel_s[cand] - vel_t[:, None, :]
+        m_j = mass_s[cand]
+        w1 = m_j / (mass_t[:, None] + m_j)
+        r = radius_t[:, None] + radius_s[cand]
+
+        dpos, dvel = _pair_deltas(d, v, w1, r, valid,
+                                  config.collision_impulse)
+        return jnp.sum(dpos, axis=1), jnp.sum(dvel, axis=1)
+
+    sidx = jnp.arange(n, dtype=jnp.int32)
+    tgt_full = (cell_s, pos_s, vel_s, mass_s, radius_s, in_win, sidx)
+    if n > _WINDOW_CHUNK:
+        pad = (-n) % _WINDOW_CHUNK
+
+        def prep(a):
+            if pad:
+                a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+            return a.reshape(-1, _WINDOW_CHUNK, *a.shape[1:])
+
+        # Zero-padded tail rows have in_win=False, so every candidate is
+        # masked invalid and their (discarded) outputs are exact zeros.
+        dpos_s, dvel_s = lax.map(window_scan,
+                                 tuple(prep(a) for a in tgt_full))
+        dpos_s = dpos_s.reshape(-1, dim)[:n]
+        dvel_s = dvel_s.reshape(-1, dim)[:n]
+    else:
+        dpos_s, dvel_s = window_scan(tgt_full)
 
     impulse = config.collision_impulse
     everyone = (pos_s, vel_s, mass_s, radius_s, cell_s)
@@ -366,6 +395,11 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
 # ---------------------------------------------------------------------------
 
 _OVERFLOW_CAP = 16384
+
+# Particle-chunk size for the hash pass's windowed candidate scan: bounds
+# the [B, C*W, D] temps at ~150 MB per buffer regardless of N (a 4M-row
+# single-shot scan OOMs 16 GB HBM by ~3x).
+_WINDOW_CHUNK = 1 << 17
 
 
 def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:

@@ -365,3 +365,37 @@ def test_grid_pass_3d_momentum_mixed_large():
     p1 = np.asarray((out.mass[:, None] * out.vel).sum(0))
     gross = float(jnp.abs(out.mass[:, None] * out.vel).sum())
     np.testing.assert_allclose(p1, p0, atol=1e-5 * gross)
+
+
+def test_grid_pass_chunked_window_matches_single_shot():
+    """Large-N hash pass chunks the windowed candidate scan under lax.map
+    (a single-shot [N, C*W, D] scan OOMs HBM at N=4M); the chunked scan
+    must match the single-shot program to roundoff and keep momentum."""
+    import jax
+
+    import nbodysim_tpu.physics.collisions as collisions_mod
+
+    for dim in (2, 3):
+        state = _rand_state(1500, dim, 100.0, 5.0, 4.0, seed=dim)
+        radius = state.radius.at[:3].set(30.0)      # big-body path too
+        state = state.replace(radius=radius)
+        cfg = _cfg(dim=dim, collision_broad_phase="hash",
+                   collision_cell_size=0.0)
+        single = _grid_pass(state, cfg)
+        old = collisions_mod._WINDOW_CHUNK
+        collisions_mod._WINDOW_CHUNK = 256
+        try:
+            chunked = _grid_pass(state, cfg)
+        finally:
+            collisions_mod._WINDOW_CHUNK = old
+        scale = float(jnp.max(jnp.abs(single.vel - state.vel)))
+        np.testing.assert_allclose(np.asarray(chunked.pos),
+                                   np.asarray(single.pos),
+                                   atol=1e-4 * max(scale, 1.0))
+        np.testing.assert_allclose(np.asarray(chunked.vel),
+                                   np.asarray(single.vel),
+                                   atol=1e-4 * max(scale, 1.0))
+        p0 = np.asarray((state.mass[:, None] * state.vel).sum(0))
+        p1 = np.asarray((chunked.mass[:, None] * chunked.vel).sum(0))
+        gross = float(jnp.abs(chunked.mass[:, None] * chunked.vel).sum())
+        np.testing.assert_allclose(p1, p0, atol=1e-5 * gross)
