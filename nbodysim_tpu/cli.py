@@ -203,7 +203,12 @@ def cmd_run(args):
 
 def cmd_render(args):
     from nbodysim_tpu.render.splat import RenderConfig
-    from nbodysim_tpu.render.video import render_rollout, save_png, save_video
+    from nbodysim_tpu.render.video import (
+        AsyncFrameWriter,
+        StreamingVideoWriter,
+        render_rollout,
+        save_png,
+    )
     from nbodysim_tpu.scenes import init_scene
 
     config = _parse_config(args)
@@ -215,20 +220,26 @@ def cmd_render(args):
         show_quadtree=args.show_quadtree,
         show_connections=args.show_connections,
     )
-    frames = []
+    # Encode on a helper thread (AsyncFrameWriter) so device stepping
+    # overlaps PNG/mp4 encode — the reference's sim/render double buffer
+    # (main.cpp:612-635) as a bounded producer-consumer queue.
+    is_video = args.out.endswith((".mp4", ".gif"))
+    if is_video:
+        video_sink = StreamingVideoWriter(args.out, fps=args.fps)
+        writer = AsyncFrameWriter(video_sink)
+    else:
+        writer = AsyncFrameWriter(
+            lambda i, f: save_png(f, f"{args.out}/frame_{i:05d}.png"))
     t0 = time.perf_counter()
     for i, frame in enumerate(render_rollout(
             state, config, args.frames, args.steps_per_frame, rc)):
-        if args.out.endswith((".mp4", ".gif")):
-            frames.append(frame)
-        else:
-            save_png(frame, f"{args.out}/frame_{i:05d}.png")
+        writer.submit(i, frame)
         if (i + 1) % 10 == 0:
             print(f"frame {i+1}/{args.frames} "
                   f"({(i+1)/(time.perf_counter()-t0):.2f} fps)")
-    if frames:
-        save_video(frames, args.out, fps=args.fps)
-        print(f"wrote {args.out}")
+    writer.close()
+    if is_video:
+        print(f"wrote {video_sink.finish()}")
     else:
         print(f"wrote {args.frames} PNGs to {args.out}/")
 

@@ -114,3 +114,70 @@ def test_cli_bad_set_key():
 
     with pytest.raises(SystemExit):
         main(["run", "--steps", "1", "--set", "warp=9"])
+
+
+def test_async_frame_writer_order_and_completion():
+    """AsyncFrameWriter (the main.cpp:612-635 double-buffer analogue)
+    delivers every frame, in order, even with a slow sink."""
+    import time
+
+    from nbodysim_tpu.render.video import AsyncFrameWriter
+
+    got = []
+
+    def slow_sink(i, frame):
+        time.sleep(0.005)
+        got.append((i, int(frame.sum())))
+
+    w = AsyncFrameWriter(slow_sink, maxsize=2)
+    for i in range(20):
+        w.submit(i, np.full((4, 4), i, np.uint8))
+    w.close()
+    assert got == [(i, i * 16) for i in range(20)]
+
+
+def test_async_frame_writer_propagates_sink_errors():
+    from nbodysim_tpu.render.video import AsyncFrameWriter
+
+    def bad_sink(i, frame):
+        raise RuntimeError("disk full")
+
+    w = AsyncFrameWriter(bad_sink, maxsize=1)
+    with pytest.raises(RuntimeError, match="disk full"):
+        for i in range(50):
+            w.submit(i, np.zeros((2, 2), np.uint8))
+        w.close()
+
+
+def test_streaming_video_writer(tmp_path):
+    """StreamingVideoWriter encodes incrementally (gif fallback path)."""
+    from nbodysim_tpu.render.video import StreamingVideoWriter
+
+    path = str(tmp_path / "clip.gif")
+    sink = StreamingVideoWriter(path, fps=10)
+    for i in range(3):
+        sink(i, np.full((16, 16, 3), i * 40, np.uint8))
+    out = sink.finish()
+    assert out.endswith(".gif") and os.path.getsize(out) > 0
+
+
+def test_render_rollout_double_buffer_matches_sequential():
+    """The double-buffered dispatch in render_rollout must yield exactly
+    the frames of the naive render-then-step loop."""
+    import jax
+
+    from nbodysim_tpu.physics.integrators import make_rollout
+    from nbodysim_tpu.render.video import render_rollout
+
+    cfg = _cfg(n=64, dim=2, enable_collisions=False)
+    state = nb.init_scene("plummer", cfg)
+    rc = RenderConfig(width=32, height=32)
+
+    frames = list(render_rollout(state, cfg, 3, 2, rc))
+
+    rollout = make_rollout(cfg, 2)
+    rjit = jax.jit(lambda s: render_frame(s, rc, cfg))
+    s = state
+    for i in range(3):
+        np.testing.assert_array_equal(frames[i], np.asarray(rjit(s)))
+        s = rollout(s)
