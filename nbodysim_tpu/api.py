@@ -45,9 +45,10 @@ class Simulation:
 
             state = init_scene(scene, self.config, **scene_kwargs)
         if self.config.force_backend == "auto":
-            # Pin 'auto' to a concrete backend (and, for clustered 2D
-            # scenes, the deep-overflow chain) from the actual particle
-            # distribution; see forces.resolve_config_for_state.
+            # Pin 'auto' to a concrete backend (and, for clustered
+            # scenes, the deep-overflow chain + tile refinement) from the
+            # actual particle distribution; see
+            # forces.resolve_config_for_state.
             from nbodysim_tpu.physics.forces import resolve_config_for_state
 
             self.config = resolve_config_for_state(
@@ -100,7 +101,7 @@ class Simulation:
                     f"BH near-field overflow {over} exceeds the residual "
                     f"capacity {_OVERFLOW_CAP} on {when}; excess "
                     f"particles get no near-field force. Set "
-                    f"bh_deep_levels=-1 (2D deep-overflow chain), or use "
+                    f"bh_deep_levels=-1 (deep-overflow chain), or use "
                     f"force_backend='pallas' for this scene.",
                     RuntimeWarning)
 

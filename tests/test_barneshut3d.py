@@ -127,14 +127,17 @@ def test_bh3_mild_overflow_small_tier():
     assert np.median(err) < 0.005, np.median(err)
 
 
-def test_auto_backend_falls_back_on_clustered_scene(monkeypatch):
-    """resolve_backend_for_state: a scene whose near-field overflow exceeds
-    the residual capacity must not silently pick the tree."""
+def test_auto_backend_enables_deep_chain_on_clustered_scene(monkeypatch):
+    """resolve_config_for_state: a 3D scene whose near-field overflow
+    exceeds the residual capacity stays on the tree WITH the deep-overflow
+    chain + tile refinement (r3 — round 2 fell back to the exact kernels
+    because the 256^3 deep grid alone was too coarse; the tile refinement
+    fixed the accuracy, measured clustered-blob p99 8.5 -> 0.098)."""
     import warnings
 
     from nbodysim_tpu.physics import barneshut as bh_mod
     from nbodysim_tpu.physics import forces as forces_mod
-    from nbodysim_tpu.physics.forces import resolve_backend_for_state
+    from nbodysim_tpu.physics.forces import resolve_config_for_state
 
     monkeypatch.setattr(forces_mod, "BH3_AUTO_THRESHOLD", 256)
     monkeypatch.setattr(bh_mod, "_OVERFLOW_CAP", 64)
@@ -148,14 +151,24 @@ def test_auto_backend_falls_back_on_clustered_scene(monkeypatch):
     mass = jnp.ones((512,), jnp.float32)
     cfg = SimConfig(n=512, dim=3, force_backend="auto", bh_levels=3)
     with warnings.catch_warnings():
-        warnings.simplefilter("ignore", RuntimeWarning)
-        backend = resolve_backend_for_state(pos, mass, cfg)
-    assert backend in ("xla", "pallas")
+        warnings.simplefilter("always")
+        out = resolve_config_for_state(pos, mass, cfg)
+        assert out.force_backend == "bh"
+        assert out.bh_deep_levels == -1
 
-    # A well-spread scene keeps the tree.
+    # An explicit user tile-off survives the auto escalation.
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        out_nt = resolve_config_for_state(
+            pos, mass, cfg.replace(bh_tile_levels=0))
+    assert out_nt.bh_tile_levels == 0
+
+    # A well-spread scene keeps the plain tree (no deep chain).
     pos_u = jax.random.uniform(jax.random.PRNGKey(1), (512, 3),
                                jnp.float32, -1000.0, 1000.0)
-    assert resolve_backend_for_state(pos_u, mass, cfg) == "bh"
+    out_u = resolve_config_for_state(pos_u, mass, cfg)
+    assert out_u.force_backend == "bh"
+    assert out_u.bh_deep_levels == 0
 
 
 def test_bh3_pallas_nearfield_matches_xla():
