@@ -128,11 +128,14 @@ def measure_step_throughput(
     config = SimConfig(n=n, **config_kw)
     state = init_scene(scene, config)
     rollout = make_rollout(config, reps)
-    np.asarray(rollout(state).pos)  # compile + warm
+    # Scalar checksum: pulling the full [N, D] positions through the
+    # tunnel costs ~100 ms/1M rows per lap and would pollute the timing.
+    roll_sum = jax.jit(lambda s: jnp.sum(rollout(s).pos))
+    np.asarray(roll_sum(state))  # compile + warm
     sw = Stopwatch()
     for _ in range(3):
         with sw.lap():
-            np.asarray(rollout(state).pos)
+            np.asarray(roll_sum(state))
     return {
         "n": n,
         "steps_per_second": reps / sw.best,

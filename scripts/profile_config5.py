@@ -95,16 +95,19 @@ def main():
     tree_mass, bulk_pos = map(jax.device_put, (tree_mass, bulk_pos))
 
     # ---- pyramid build (scatter + pool to level 2) -------------------
+    # synth_quad matches the real deep path (3-channel scatter +
+    # point-at-COM quadrupole synthesis, r3).
     def build(bulk_pos, tree_mass):
         grids, corner, size, ci_f, flat_f = bh._build_pyramid(
-            bulk_pos, tree_mass, deep)
+            bulk_pos, tree_mass, deep, synth_quad=True)
         return grids[deep]
 
     time_stage("pyramid build (scatter+pools)", build,
                (bulk_pos, tree_mass), reps=args.reps)
 
     grids, corner_, size_, ci_f, flat_f = jax.jit(
-        lambda p, m: bh._build_pyramid(p, m, deep))(bulk_pos, tree_mass)
+        lambda p, m: bh._build_pyramid(p, m, deep, synth_quad=True)
+    )(bulk_pos, tree_mass)
     ci = ci_f >> (deep - levels)
     flat = ci[:, 0] * res + ci[:, 1]
     ci, flat = jax.device_put(ci), jax.device_put(flat)
@@ -154,18 +157,21 @@ def main():
                (jax.device_put(flat.astype(jnp.float32)),), reps=args.reps)
 
     # ---- deep aggregates ---------------------------------------------
+    # Matches the real path (r3): inner 3x3 monopole window only — the
+    # cheb>=2 ring folds into the local expansion (_fold_aggregate_ring).
     payload = jax.jit(bh._moment_payload)(bulk_pos, tree_mass)
-    rrd = radius - 1
-    g6d = jax.jit(lambda g: jnp.pad(jnp.stack(g, axis=-1),
-                                    ((rrd, rrd), (rrd, rrd), (0, 0))))(
+    rin = min(radius - 1, 1)
+    g3d = jax.jit(lambda g: jnp.pad(jnp.stack(g[:3], axis=-1),
+                                    ((rin, rin), (rin, rin), (0, 0))))(
         grids[deep])
+    pay3 = payload[:, :3]
 
-    def agg(pos_, payload_, g6_):
-        return bh._deep_near_aggregates(pos_, payload_, g6_, ci_f, eps_sq,
-                                        size_ / (1 << deep), rr=rrd)
+    def agg(pos_, payload_, g3_):
+        return bh._deep_near_aggregates(pos_, payload_, g3_, ci_f, eps_sq,
+                                        size_ / (1 << deep), rr=rin)
 
-    time_stage("deep aggregates (5x5 window gathers)", agg,
-               (bulk_pos, payload, g6d), reps=args.reps)
+    time_stage("deep aggregates (3x3 monopole gathers)", agg,
+               (bulk_pos, pay3, g3d), reps=args.reps)
 
     # ---- L2P gathers --------------------------------------------------
     loc_b = tuple(jax.device_put(jnp.zeros((res, res), jnp.float32))
@@ -220,6 +226,9 @@ def main():
         Wf = W * f_sub
 
         def tile_scatter(payload_):
+            """The real compact home-cell scatter (r3): 3 channels into
+            the home candidate for all N + compact boundary subset for
+            the 3 halo candidates (see _tile_eval)."""
             rD = 1 << deep
             nt = rD // tt
             u2 = (bulk_pos - corner_) / size_
@@ -231,25 +240,38 @@ def main():
             my2 = ci_f[:, 1] % tt
             sx = jnp.where(mx < H, -1, jnp.where(mx >= tt - H, 1, 0))
             sy = jnp.where(my2 < H, -1, jnp.where(my2 >= tt - H, 1, 0))
-            g6t = jnp.zeros((tc * Wf * Wf, 6), jnp.float32)
-            for cx, cy in ((0, 0), (1, 0), (0, 1), (1, 1)):
-                ctx = tx + (sx if cx else 0)
-                cty = ty + (sy if cy else 0)
+            pay3 = payload_[:, :3]
+
+            def cand(cx, cy, tx_, ty_, sx_, sy_, sub_):
+                ctx = tx_ + (sx_ if cx else 0)
+                cty = ty_ + (sy_ if cy else 0)
                 ok = (ctx >= 0) & (ctx < nt) & (cty >= 0) & (cty < nt)
                 if cx:
-                    ok = ok & (sx != 0)
+                    ok = ok & (sx_ != 0)
                 if cy:
-                    ok = ok & (sy != 0)
+                    ok = ok & (sy_ != 0)
                 slot = tile_slot[jnp.where(ok, ctx * nt + cty, nt * nt)]
                 ok = ok & (slot < tc)
-                rel = ci_sub - orig[jnp.minimum(slot, tc - 1)] * f_sub
-                idx = jnp.where(
+                rel = sub_ - orig[jnp.minimum(slot, tc - 1)] * f_sub
+                return jnp.where(
                     ok, (slot * Wf + rel[:, 0]) * Wf + rel[:, 1],
                     tc * Wf * Wf)
-                g6t = g6t.at[idx].add(payload_, mode="drop")
-            return g6t
 
-        time_stage("tile 4-candidate moment scatter", tile_scatter,
+            g3t = (jnp.zeros((tc * Wf * Wf, 3), jnp.float32)
+                   .at[cand(0, 0, tx, ty, sx, sy, ci_sub)]
+                   .add(pay3, mode="drop"))
+            b_cap = min(n, max(n // 4, 65536))
+            on_edge = (sx != 0) | (sy != 0)
+            bidx = jnp.argsort(~on_edge)[:b_cap]
+            b_ok = on_edge[bidx]
+            pay_b = jnp.where(b_ok[:, None], pay3[bidx], 0.0)
+            for cx, cy in ((1, 0), (0, 1), (1, 1)):
+                g3t = g3t.at[cand(cx, cy, tx[bidx], ty[bidx], sx[bidx],
+                                  sy[bidx], ci_sub[bidx])].add(
+                    pay_b, mode="drop")
+            return g3t
+
+        time_stage("tile compact moment scatter", tile_scatter,
                    (payload2,), reps=args.reps)
 
     # ---- whole eval for reference -------------------------------------

