@@ -175,6 +175,59 @@ def test_compact_capacity_op_model():
     assert compact_capacity(4096, 64 // 8 + 4, 64) == 4096
 
 
+def _compiled_flops(fn, *args) -> float:
+    """Per-device FLOPs of the compiled (SPMD) program, from XLA's own
+    cost analysis — the scaling measurement, not a hand model."""
+    ca = jax.jit(fn).lower(*args).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    return float(ca["flops"])
+
+
+def test_banded_per_device_flops_drop_with_mesh_size(eight_devices):
+    """Strong-scaling evidence (round-2 review: 'nothing demonstrates
+    per-device time actually dropping with P'): XLA's compiled cost
+    analysis shows the banded tree's per-device FLOPs following
+    F_fixed + S/P — the fixed floor is the by-design per-device O(N)
+    prep (cell indices, moment payload; the all_gather is O(N) anyway)
+    PLUS the static double-count of the compact/full `lax.cond` (cost
+    analysis sums both branches), and S, the majority of the single-chip
+    program, genuinely divides by the mesh size. Wall-clock on the
+    virtual CPU mesh is meaningless (8 'devices' share one core); the
+    compiled per-device FLOP model is the honest proxy the driver can
+    check without a pod. Measured r3 at N=131k/L=8: single 1.01e9;
+    P=2/4/8 = 7.69/5.75/4.83e8 — the 1/P fit predicts P=4 within 1%."""
+    n = 1 << 17
+    pos, mass = _uniform(n, seed=21)
+    cfg = SimConfig(n=n, bh_levels=8, force_backend="bh")
+
+    flops_1 = _compiled_flops(lambda p, m: bh_accelerations(p, m, cfg),
+                              pos, mass)
+
+    def banded_flops(n_dev):
+        mesh = make_mesh(n_dev)
+
+        def f(pos_l, mass_l):
+            return banded_tree_accelerations(pos_l, mass_l, cfg, "shards")
+
+        fn = jax.shard_map(f, mesh=mesh,
+                           in_specs=(P("shards"), P("shards")),
+                           out_specs=P("shards"), check_vma=False)
+        return _compiled_flops(fn, pos, mass)
+
+    f2, f4, f8 = banded_flops(2), banded_flops(4), banded_flops(8)
+    # Per-device work genuinely shrinks with P ...
+    assert f8 < f4 < f2 < flops_1, (flops_1, f2, f4, f8)
+    # ... following F_fixed + S/P: solve from P=2 and P=8, check P=4.
+    s = (f2 - f8) / (1 / 2 - 1 / 8)
+    fixed = f2 - s / 2
+    assert abs(fixed + s / 4 - f4) < 0.1 * f4, (fixed, s, f4)
+    # The 1/P-scaling component is the majority of the single-chip
+    # program (fixed floor = O(N) prep + the cond's static double-count).
+    assert s > 0.6 * flops_1, (s, flops_1)
+    assert fixed < 0.5 * flops_1, (fixed, flops_1)
+
+
 def test_banded_compact_window_matches(eight_devices):
     """Sizes where the compacted per-band window sort actually engages
     (asserted via the capacity model): parity with the single-chip tree —
