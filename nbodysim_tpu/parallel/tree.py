@@ -434,7 +434,11 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                 & (ci[:, 0] - row0 < rb + rr))
     c_cap = compact_capacity(n, rows_w, res)
     all_valid = jnp.ones((n,), bool)
-    if deep or c_cap >= n:
+    # Deep mode runs the same bucket field stage (its residual branch is
+    # statically skipped; deep targets are overwritten below), so the
+    # compact window applies there too — the flagship clustered config
+    # keeps the O(N/P log N/P) sort.
+    if c_cap >= n:
         contrib = _field_stage(jnp.argsort(flat_nf), all_valid)
     else:
         rank = jnp.cumsum(in_win_u) - 1

@@ -385,7 +385,10 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                 & (ci[:, 0] - row0 < rb + rr))
     c_cap = compact_capacity(n, rows_w, res)
     all_valid = jnp.ones((n,), bool)
-    if deep or c_cap >= n:
+    # Deep mode runs the same slab field stage (residual statically
+    # skipped; deep targets overwritten below), so the compact window
+    # applies there too (see parallel/tree.py).
+    if c_cap >= n:
         contrib = _field_stage(jnp.argsort(flat_nf), all_valid)
     else:
         rank = jnp.cumsum(in_win_u) - 1

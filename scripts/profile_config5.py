@@ -63,6 +63,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 22)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--skip-whole", action="store_true",
+                    help="skip the WHOLE-eval stages (the full fused "
+                         "graph compile killed the tunnel relay in r3 — "
+                         "get whole-step numbers from bench.py instead)")
     args = ap.parse_args()
 
     from nbodysim_tpu.config import SimConfig
@@ -275,6 +279,9 @@ def main():
                    (payload2,), reps=args.reps)
 
     # ---- whole eval for reference -------------------------------------
+    if args.skip_whole:
+        return
+
     def whole(pos_, mass_):
         return bh.bh_accelerations(pos_, mass_, config)
 

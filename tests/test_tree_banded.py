@@ -120,6 +120,22 @@ def test_banded_deep_chain_two_device_mesh(eight_devices):
     _check(pos, mass, cfg, n_dev=2)
 
 
+def test_banded_deep_chain_compact_window(eight_devices):
+    """Deep chain + COMPACT per-band window sort together (r3: deep mode
+    used to force the full-length sort — the flagship clustered config
+    kept the replicated O(N log N) stage). The blob band overfills its
+    window and falls back in-jit; uniform bands stay compact — mixed
+    branches under the deep path must still match the single-chip tree."""
+    from nbodysim_tpu.parallel.tree import compact_capacity
+
+    n = 8192
+    assert compact_capacity(n, 64 // 8 + 4, 64) < n  # compact engages
+    pos, mass = _clustered(n, seed=3)
+    cfg = SimConfig(n=n, bh_levels=6, bh_deep_levels=8,
+                    force_backend="bh")
+    _check(pos, mass, cfg, rtol=5e-5)
+
+
 def test_banded_tile_refinement_matches(eight_devices):
     """Hot-zone tile refinement under banding: the replicated tile chain
     + psum-assembled local windows must reproduce the single-chip tiled
@@ -383,6 +399,19 @@ def test_banded3_deep_chain_matches(eight_devices):
     a_deep = np.asarray(bh_accelerations(pos, mass, cfg))
     a_flat = np.asarray(bh_accelerations(pos, mass, cfg0))
     assert np.abs(a_deep - a_flat).max() > 1e-3 * np.abs(a_deep).max()
+
+
+def test_banded3_deep_chain_compact_window(eight_devices):
+    """3D mirror of deep chain + compact window (r3): the blob slab falls
+    back in-jit, the rest stay compact, under the deep path."""
+    from nbodysim_tpu.parallel.tree import compact_capacity
+
+    n = 8192
+    assert compact_capacity(n, 32 // 8 + 2, 32) < n
+    pos, mass = _clustered(n, dim=3, seed=5)
+    cfg = SimConfig(n=n, dim=3, bh_levels=5, bh_deep_levels=7,
+                    bh_tile_levels=0, force_backend="bh")
+    _check3(pos, mass, cfg, rtol=5e-5)
 
 
 def test_banded3_tile_refinement_matches(eight_devices):
