@@ -70,7 +70,6 @@ from nbodysim_tpu.physics.barneshut import (
     _resolve_levels,
     _resolve_radius,
     _resolve_tile_params,
-    _tile_eval,
     _tile_select,
     heavy_coupling,
 )
@@ -490,51 +489,98 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
             local_deep, wring, corner, size, res_b, eps_sq, radius,
             row0=row0_b, rows=rb_b)
 
-        # Deep L2P on band particles (band rows at the deep level align
-        # with the bucket-level bands: row_deep >> (deep-levels) = row).
+        # Deep L2P + smoothed aggregates on band particles (band rows at
+        # the deep level align with the bucket-level bands: row_deep >>
+        # (deep-levels) = row). These are per-particle gather/VPU stages,
+        # so they run over a COMPACTED per-band target set (r3; same
+        # design as _field_stage — only my band's targets take my deep
+        # values, so ~slack*N/P rows replace the replicated full-N pass),
+        # with an in-jit fallback when clustering overfills the band.
+        # Collectives (halo windows, the ring fold) stay outside the cond.
         s_d = size / res_b
-        lrow_d = jnp.clip(ci_f[:, 0] - row0_b, 0, rb_b - 1)
-        centx_d = corner[0] + (ci_f[:, 0].astype(pos.dtype) + 0.5) * s_d
-        centy_d = corner[1] + (ci_f[:, 1].astype(pos.dtype) + 0.5) * s_d
-        dxd = pos[:, 0] - centx_d
-        dyd = pos[:, 1] - centy_d
-        locd = jnp.stack(local_agg, axis=0).reshape(9, rb_b * res_b)
-        gd = locd[:, lrow_d * res_b + ci_f[:, 1]]              # [9, N]
-        (fx_d, fy_d, jxx_d, jxy_d, jyy_d,
-         hxxx_d, hxxy_d, hxyy_d, hyyy_d) = (gd[i] for i in range(9))
-        fdx = (fx_d + jxx_d * dxd + jxy_d * dyd
-               + 0.5 * (hxxx_d * dxd * dxd + 2 * hxxy_d * dxd * dyd
-                        + hxyy_d * dyd * dyd))
-        fdy = (fy_d + jxy_d * dxd + jyy_d * dyd
-               + 0.5 * (hxxy_d * dxd * dxd + 2 * hxyy_d * dxd * dyd
-                        + hyyy_d * dyd * dyd))
-        far_deep = g_const * jnp.stack([fdx, fdy], axis=-1)
-
-        # Smoothed deep-cell aggregates over a band+halo window (halo rows
-        # real ring-neighbor data — the single-chip zero pad appears only
-        # at the global boundary, matching its jnp.pad semantics). Inner
-        # 3x3 only: the outer ring folded into local_agg above.
         rin = min(rrd, 1)
         win3 = _halo_window(band_grids[build_levels][:3], rin, p_dev,
                             axis_name)
         gp = jnp.stack(win3, axis=-1)    # [rb_b + 2rin, res_b + 2rin, 3]
         payload = _moment_payload(pos, tree_mass)
-        deep_near = g_const * _deep_near_aggregates(
-            pos, payload[:, :3], gp, ci_f, eps_sq, s_d, rin, row0=row0_b)
+        locd = jnp.stack(local_agg, axis=0).reshape(9, rb_b * res_b)
 
-        deep_part = jnp.where(in_band[:, None], far_deep + deep_near, 0.0)
-        contrib = jnp.where((b_par & in_band)[:, None], deep_part, contrib)
+        def deep_eval(pos_s, pay3_s, ci_f_s):
+            """g_const * (deep L2P + inner-3x3 aggregates), subset rows."""
+            lrow_d = jnp.clip(ci_f_s[:, 0] - row0_b, 0, rb_b - 1)
+            centx_d = corner[0] + (ci_f_s[:, 0].astype(pos.dtype)
+                                   + 0.5) * s_d
+            centy_d = corner[1] + (ci_f_s[:, 1].astype(pos.dtype)
+                                   + 0.5) * s_d
+            dxd = pos_s[:, 0] - centx_d
+            dyd = pos_s[:, 1] - centy_d
+            gd = locd[:, lrow_d * res_b + ci_f_s[:, 1]]        # [9, C]
+            (fx_d, fy_d, jxx_d, jxy_d, jyy_d,
+             hxxx_d, hxxy_d, hxyy_d, hyyy_d) = (gd[i] for i in range(9))
+            fdx = (fx_d + jxx_d * dxd + jxy_d * dyd
+                   + 0.5 * (hxxx_d * dxd * dxd + 2 * hxxy_d * dxd * dyd
+                            + hxyy_d * dyd * dyd))
+            fdy = (fy_d + jxy_d * dxd + jyy_d * dyd
+                   + 0.5 * (hxxy_d * dxd * dxd + 2 * hxyy_d * dxd * dyd
+                            + hyyy_d * dyd * dyd))
+            far_d = jnp.stack([fdx, fdy], axis=-1)
+            near_d = _deep_near_aggregates(pos_s, pay3_s, gp, ci_f_s,
+                                           eps_sq, s_d, rin, row0=row0_b)
+            return g_const * (far_d + near_d)
+
+        c_deep = compact_capacity(n, rb, res)
+        if c_deep >= n:
+            deep_part = jnp.where(
+                in_band[:, None], deep_eval(pos, payload[:, :3], ci_f),
+                0.0)
+            contrib = jnp.where((b_par & in_band)[:, None], deep_part,
+                                contrib)
+        else:
+            rank_d = jnp.cumsum(in_band) - 1
+            n_band = jnp.sum(in_band)
+            didx = (jnp.full((c_deep,), n, jnp.int32)
+                    .at[jnp.where(in_band & (rank_d < c_deep), rank_d,
+                                  c_deep)]
+                    .set(jnp.arange(n, dtype=jnp.int32), mode="drop"))
+
+            def compact_deep(contrib):
+                valid = didx < n
+                si = jnp.minimum(didx, n - 1)
+                vals = deep_eval(pos[si], payload[si, :3], ci_f[si])
+                sel = valid & b_par[si]    # in_band[si] true where valid
+                # Unique rows (each particle appears once): .set == the
+                # full branch's where-replacement.
+                return contrib.at[jnp.where(sel, si, n)].set(
+                    vals, mode="drop")
+
+            def full_deep(contrib):
+                deep_part = jnp.where(
+                    in_band[:, None],
+                    deep_eval(pos, payload[:, :3], ci_f), 0.0)
+                return jnp.where((b_par & in_band)[:, None], deep_part,
+                                 contrib)
+
+            contrib = lax.cond(n_band <= c_deep, compact_deep, full_deep,
+                               contrib)
 
         # ---- hot-zone tile refinement under banding --------------------
-        # Tile selection, moment scatter, and the per-tile sub-level chain
-        # are replicated (tiny grids); only the level-D local WINDOW is
-        # banded state — each device contributes its band's rows of every
-        # tile window (zeros elsewhere) and one psum of the [T, W, W, 9]
-        # stack (~100s of KB) assembles what the single chip slices from
-        # the full grid. Application is band-masked so the final psum of
-        # contrib stays disjoint.
+        # Tile selection and the per-tile sub-level chain are replicated
+        # (tiny grids); the level-D local WINDOW is banded state — each
+        # device contributes its band's rows of every tile window (zeros
+        # elsewhere) and one psum of the [T, W, W, 9] stack assembles
+        # what the single chip slices from the full grid. The PER-PARTICLE
+        # stages band (r3): each device scatters only its band's
+        # particles into the tile grids (one small psum assembles the
+        # [T, Wf, Wf, 3] moments — every particle scatters from exactly
+        # its owner band, so coverage is exact) and evaluates refined
+        # targets over the same compacted band set as the deep stage.
+        # Application is band-masked so the final psum of contrib stays
+        # disjoint.
         tk, tt, tc = tile_params
         if tk:
+            from nbodysim_tpu.physics.barneshut import (
+                _tile_apply, _tile_chain, _tile_scatter)
+
             hh = radius
             ww = tt + 2 * hh
             tid, tile_slot, orig = _tile_select(ci_f, b_par, build_levels,
@@ -548,14 +594,78 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                                          (ww, ww, 9))
 
             local_w = lax.psum(jax.vmap(slice_band)(orig), axis_name)
-            refined, far_ref, near_ref = _tile_eval(
-                pos, payload, bulk_pos, ci_f, b_par, local_w,
-                tid, tile_slot, orig, corner, size, build_levels, radius,
-                eps_sq, k=tk, t=tt, T=tc)
-            ref_part = jnp.where(in_band[:, None],
-                                 g_const * (far_ref + near_ref), 0.0)
-            contrib = jnp.where((refined & in_band)[:, None], ref_part,
-                                contrib)
+
+            tile_kw = dict(corner=corner, size=size, deep=build_levels,
+                           radius=radius, k=tk, t=tt, T=tc)
+            if c_deep >= n:
+                # No compaction possible: keep the replicated full-length
+                # scatter (identical on every device — no psum needed).
+                g3k = _tile_scatter(
+                    payload, bulk_pos, ci_f, tile_slot, orig,
+                    corner, size, build_levels, radius, tk, tt, tc)
+                local_w = _tile_chain(local_w, g3k, orig, corner, size,
+                                      build_levels, radius, eps_sq,
+                                      tk, tt, tc)
+                refined, far_ref, near_ref = _tile_apply(
+                    pos, payload, bulk_pos, ci_f, b_par, local_w, g3k,
+                    tile_slot, orig, eps_sq=eps_sq, **tile_kw)
+                ref_part = jnp.where(in_band[:, None],
+                                     g_const * (far_ref + near_ref), 0.0)
+                contrib = jnp.where((refined & in_band)[:, None],
+                                    ref_part, contrib)
+            else:
+                valid_d = didx < n
+                si = jnp.minimum(didx, n - 1)
+                # Out-of-capacity bands fall back to full-length inputs
+                # masked to the band: the scatter psum must stay exact,
+                # so the fallback happens per-device via the same cond
+                # predicate as the deep stage (collective psum stays
+                # OUTSIDE the cond — both branches produce the partial
+                # tile grids, psum combines them after).
+                pay_band = jnp.where(in_band[:, None], payload, 0.0)
+
+                def compact_grids(_):
+                    pay_s = jnp.where(valid_d[:, None], payload[si], 0.0)
+                    return _tile_scatter(
+                        pay_s, bulk_pos[si], ci_f[si], tile_slot, orig,
+                        corner, size, build_levels, radius, tk, tt, tc)
+
+                def full_grids(_):
+                    g = _tile_scatter(
+                        pay_band, bulk_pos, ci_f, tile_slot, orig,
+                        corner, size, build_levels, radius, tk, tt, tc)
+                    # match compact_grids' static [T, Wf, Wf, 3] shape
+                    return g
+
+                g3k = lax.psum(
+                    lax.cond(n_band <= c_deep, compact_grids, full_grids,
+                             0), axis_name)
+                local_w = _tile_chain(local_w, g3k, orig, corner, size,
+                                      build_levels, radius, eps_sq,
+                                      tk, tt, tc)
+
+                def compact_apply(contrib):
+                    refined_s, far_s, near_s = _tile_apply(
+                        pos[si], payload[si], bulk_pos[si], ci_f[si],
+                        b_par[si], local_w, g3k, tile_slot, orig,
+                        eps_sq=eps_sq, **tile_kw)
+                    sel = valid_d & refined_s
+                    vals = g_const * (far_s + near_s)
+                    return contrib.at[jnp.where(sel, si, n)].set(
+                        vals, mode="drop")
+
+                def full_apply(contrib):
+                    refined, far_ref, near_ref = _tile_apply(
+                        pos, payload, bulk_pos, ci_f, b_par, local_w,
+                        g3k, tile_slot, orig, eps_sq=eps_sq, **tile_kw)
+                    ref_part = jnp.where(
+                        in_band[:, None],
+                        g_const * (far_ref + near_ref), 0.0)
+                    return jnp.where((refined & in_band)[:, None],
+                                     ref_part, contrib)
+
+                contrib = lax.cond(n_band <= c_deep, compact_apply,
+                                   full_apply, contrib)
 
     # ---------------- exact forces ON outliers (index-range sharded) ----
     k_out = out_i.shape[0]

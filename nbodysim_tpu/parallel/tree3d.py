@@ -45,7 +45,6 @@ from nbodysim_tpu.physics.barneshut3d import (
     _resolve_radius3,
     _resolve_tile_params3,
     _taylor_eval3,
-    _tile_eval3,
     _tile_select3,
 )
 
@@ -440,41 +439,85 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
             local_deep, wring, corner, size, res_b, eps_sq, radius,
             row0=row0_b, rows=rb_b)
 
-        # Deep L2P on band particles (deep bands align with bucket bands).
+        # Deep L2P + smoothed aggregates on band particles (deep bands
+        # align with bucket bands). Per-particle gather/VPU stages run
+        # over a COMPACTED per-band target set (r3; see parallel/tree.py)
+        # with an in-jit fallback; collectives (halo windows, the shell
+        # fold) stay outside the cond.
         s_d = size / res_b
-        lrow_d = jnp.clip(ci_f[:, 0] - row0_b, 0, rb_b - 1)
-        centx_d = corner[0] + (ci_f[:, 0].astype(pos.dtype) + 0.5) * s_d
-        centy_d = corner[1] + (ci_f[:, 1].astype(pos.dtype) + 0.5) * s_d
-        centz_d = corner[2] + (ci_f[:, 2].astype(pos.dtype) + 0.5) * s_d
-        locd = jnp.stack(local_agg, axis=0).reshape(19, rb_b * res_b**2)
-        gdi = (lrow_d * res_b + ci_f[:, 1]) * res_b + ci_f[:, 2]
-        gd = locd[:, gdi]                                      # [19, N]
-        evd = _taylor_eval3(tuple(gd[i] for i in range(19)),
-                            pos[:, 0] - centx_d, pos[:, 1] - centy_d,
-                            pos[:, 2] - centz_d)
-        far_deep = g_const * jnp.stack(evd[:3], axis=-1)
-
-        # Smoothed deep-cell aggregates over a band+halo window (halo
-        # slabs real ring-neighbor data — the single-chip zero pad appears
-        # only at the global boundary, matching its jnp.pad semantics).
-        # Inner 3^3 only: any outer shell folded into local_agg above.
         rin = min(rrd, 1)
         win4 = _halo_window3(band_grids[build_levels][:4], rin, p_dev,
                              axis_name)
         gpw = jnp.stack(win4, axis=-1)   # [rb_b+2rin, res_b+2rin, .., 4]
         payload = _moment_payload3(pos, tree_mass)
-        deep_near = g_const * _deep_near_aggregates3(
-            pos, payload[:, :4], gpw, ci_f, eps_sq, s_d, rin, row0=row0_b)
+        locd = jnp.stack(local_agg, axis=0).reshape(19, rb_b * res_b**2)
 
-        deep_part = jnp.where(in_band[:, None], far_deep + deep_near, 0.0)
-        contrib = jnp.where((b_par & in_band)[:, None], deep_part, contrib)
+        def deep_eval(pos_s, pay4_s, ci_f_s):
+            lrow_d = jnp.clip(ci_f_s[:, 0] - row0_b, 0, rb_b - 1)
+            centx_d = corner[0] + (ci_f_s[:, 0].astype(pos.dtype)
+                                   + 0.5) * s_d
+            centy_d = corner[1] + (ci_f_s[:, 1].astype(pos.dtype)
+                                   + 0.5) * s_d
+            centz_d = corner[2] + (ci_f_s[:, 2].astype(pos.dtype)
+                                   + 0.5) * s_d
+            gdi = (lrow_d * res_b + ci_f_s[:, 1]) * res_b + ci_f_s[:, 2]
+            gd = locd[:, gdi]                                  # [19, C]
+            evd = _taylor_eval3(tuple(gd[i] for i in range(19)),
+                                pos_s[:, 0] - centx_d,
+                                pos_s[:, 1] - centy_d,
+                                pos_s[:, 2] - centz_d)
+            far_d = jnp.stack(evd[:3], axis=-1)
+            near_d = _deep_near_aggregates3(pos_s, pay4_s, gpw, ci_f_s,
+                                            eps_sq, s_d, rin, row0=row0_b)
+            return g_const * (far_d + near_d)
+
+        c_deep = compact_capacity(n, rb, res)
+        if c_deep >= n:
+            deep_part = jnp.where(
+                in_band[:, None], deep_eval(pos, payload[:, :4], ci_f),
+                0.0)
+            contrib = jnp.where((b_par & in_band)[:, None], deep_part,
+                                contrib)
+        else:
+            rank_d = jnp.cumsum(in_band) - 1
+            n_band = jnp.sum(in_band)
+            didx = (jnp.full((c_deep,), n, jnp.int32)
+                    .at[jnp.where(in_band & (rank_d < c_deep), rank_d,
+                                  c_deep)]
+                    .set(jnp.arange(n, dtype=jnp.int32), mode="drop"))
+
+            def compact_deep(contrib):
+                valid = didx < n
+                si = jnp.minimum(didx, n - 1)
+                vals = deep_eval(pos[si], payload[si, :4], ci_f[si])
+                sel = valid & b_par[si]
+                return contrib.at[jnp.where(sel, si, n)].set(
+                    vals, mode="drop")
+
+            def full_deep(contrib):
+                deep_part = jnp.where(
+                    in_band[:, None],
+                    deep_eval(pos, payload[:, :4], ci_f), 0.0)
+                return jnp.where((b_par & in_band)[:, None], deep_part,
+                                 contrib)
+
+            contrib = lax.cond(n_band <= c_deep, compact_deep, full_deep,
+                               contrib)
 
         # ---- hot-zone tile refinement under banding (3D) ---------------
-        # Same scheme as parallel/tree.py: replicated tile compute; only
-        # the level-D local WINDOW is banded state — band-slice + one
-        # small psum assembles it; application is band-masked.
+        # Same scheme as parallel/tree.py: replicated tile selection +
+        # chain; the level-D local WINDOW is banded state (band-slice +
+        # one small psum); the PER-PARTICLE stages band (r3): each device
+        # scatters only its slab's particles into the tile grids (one
+        # psum of the [T, Wf^3, 4] moments — every particle scatters from
+        # exactly its owner slab) and evaluates refined targets over the
+        # same compacted slab set as the deep stage. Application is
+        # band-masked so the final psum of contrib stays disjoint.
         tk, tt, tc = tile_params
         if tk:
+            from nbodysim_tpu.physics.barneshut3d import (
+                _tile_apply3, _tile_chain3, _tile_scatter3)
+
             hh = radius
             ww = tt + 2 * hh
             tid, tile_slot, orig = _tile_select3(
@@ -489,14 +532,70 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                     (ww, ww, ww, 19))
 
             local_w = lax.psum(jax.vmap(slice_band)(orig), axis_name)
-            refined, far_ref, near_ref = _tile_eval3(
-                pos, payload, bulk_pos, ci_f, b_par, local_w,
-                tid, tile_slot, orig, corner, size, build_levels, radius,
-                eps_sq, k=tk, t=tt, T=tc)
-            ref_part = jnp.where(in_band[:, None],
-                                 g_const * (far_ref + near_ref), 0.0)
-            contrib = jnp.where((refined & in_band)[:, None], ref_part,
-                                contrib)
+
+            tile_kw = dict(corner=corner, size=size, deep=build_levels,
+                           radius=radius, k=tk, t=tt, T=tc)
+            if c_deep >= n:
+                # No compaction possible: keep the replicated full-length
+                # scatter (identical on every device — no psum needed).
+                g4k = _tile_scatter3(
+                    payload, bulk_pos, ci_f, tile_slot, orig,
+                    corner, size, build_levels, radius, tk, tt, tc)
+                local_w = _tile_chain3(local_w, g4k, orig, corner, size,
+                                       build_levels, radius, eps_sq,
+                                       tk, tt, tc)
+                refined, far_ref, near_ref = _tile_apply3(
+                    pos, payload, bulk_pos, ci_f, b_par, local_w, g4k,
+                    tile_slot, orig, eps_sq=eps_sq, **tile_kw)
+                ref_part = jnp.where(in_band[:, None],
+                                     g_const * (far_ref + near_ref), 0.0)
+                contrib = jnp.where((refined & in_band)[:, None],
+                                    ref_part, contrib)
+            else:
+                valid_d = didx < n
+                si = jnp.minimum(didx, n - 1)
+                pay_band = jnp.where(in_band[:, None], payload, 0.0)
+
+                def compact_grids(_):
+                    pay_s = jnp.where(valid_d[:, None], payload[si], 0.0)
+                    return _tile_scatter3(
+                        pay_s, bulk_pos[si], ci_f[si], tile_slot, orig,
+                        corner, size, build_levels, radius, tk, tt, tc)
+
+                def full_grids(_):
+                    return _tile_scatter3(
+                        pay_band, bulk_pos, ci_f, tile_slot, orig,
+                        corner, size, build_levels, radius, tk, tt, tc)
+
+                g4k = lax.psum(
+                    lax.cond(n_band <= c_deep, compact_grids, full_grids,
+                             0), axis_name)
+                local_w = _tile_chain3(local_w, g4k, orig, corner, size,
+                                       build_levels, radius, eps_sq,
+                                       tk, tt, tc)
+
+                def compact_apply(contrib):
+                    refined_s, far_s, near_s = _tile_apply3(
+                        pos[si], payload[si], bulk_pos[si], ci_f[si],
+                        b_par[si], local_w, g4k, tile_slot, orig,
+                        eps_sq=eps_sq, **tile_kw)
+                    sel = valid_d & refined_s
+                    vals = g_const * (far_s + near_s)
+                    return contrib.at[jnp.where(sel, si, n)].set(
+                        vals, mode="drop")
+
+                def full_apply(contrib):
+                    refined, far_ref, near_ref = _tile_apply3(
+                        pos, payload, bulk_pos, ci_f, b_par, local_w,
+                        g4k, tile_slot, orig, eps_sq=eps_sq, **tile_kw)
+                    ref_part = jnp.where(
+                        in_band[:, None],
+                        g_const * (far_ref + near_ref), 0.0)
+                    return jnp.where((refined & in_band)[:, None],
+                                     ref_part, contrib)
+
+                contrib = lax.cond(n_band <= c_deep, compact_apply,
+                                   full_apply, contrib)
 
     # ---------------- exact forces ON outliers (index-range sharded) ----
     k_out = out_i.shape[0]

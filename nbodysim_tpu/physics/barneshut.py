@@ -967,14 +967,26 @@ def _tile_select(ci_f, b_par, deep: int, t: int, T: int, radius: int):
     return tid, tile_slot, orig
 
 
-def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
-               tid, tile_slot, orig, corner, size, deep: int, radius: int,
-               eps_sq, k: int, t: int, T: int):
-    """Per-tile chain + refined per-particle evaluation given the window
-    slice of the level-D locals (see _tile_refine; split out so the
-    banded multi-chip tree can supply local_w via band-slice + psum)."""
-    n = pos.shape[0]
-    dtype = pos.dtype
+def _tile_scatter(payload, bulk_pos, ci_f, tile_slot, orig, corner, size,
+                  deep: int, radius: int, k: int, t: int, T: int):
+    """Moment scatter into the selected tile windows at sub-resolution
+    -> g3k [T, Wf, Wf, 3]. A particle's deep cell can sit in up to 4
+    selected windows (its home tile plus x/y/corner neighbors when within
+    H of a tile edge). Split out of the tile stage so the banded tree can
+    scatter per-band particle subsets and psum the (small) tile grids.
+
+    Monopole + dipole channels only: the scatter is the tile stage's
+    dominant cost (profiled r3: 1.02 of 1.27 s at N=4M), so halve its
+    row width and synthesize the quadrupole channels per LEVEL from
+    (m, sx, sy) as point-at-COM raw moments (rxx = sx^2/m, ...) — exact
+    for single-particle cells, and the dropped intra-cell quadrupole at
+    the tiny tile scale is far below the PM smoothing term. The three
+    non-home (halo) candidates scatter only a COMPACT boundary subset
+    (particles within H of a tile edge, ~1/3 of a tile) instead of all
+    input rows; beyond the static cap, halo sources drop gracefully (edge
+    cells lose a little neighbor mass — never their own tile's)."""
+    n = bulk_pos.shape[0]
+    dtype = bulk_pos.dtype
     rD = 1 << deep
     H = radius
     W = t + 2 * H
@@ -985,26 +997,10 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
     ty = ci_f[:, 1] // t
     u = (bulk_pos - corner) / size
     ci_sub = jnp.clip((u * (rD * f)).astype(jnp.int32), 0, rD * f - 1)
-
-    # ---- scatter moments into tile windows at sub-resolution -----------
-    # A particle's deep cell can sit in up to 4 selected windows (its home
-    # tile plus x/y/corner neighbors when within H of a tile edge).
     mx = ci_f[:, 0] % t
     my = ci_f[:, 1] % t
     sx = jnp.where(mx < H, -1, jnp.where(mx >= t - H, 1, 0))
     sy = jnp.where(my < H, -1, jnp.where(my >= t - H, 1, 0))
-
-    # Monopole + dipole channels only: the scatter is the tile stage's
-    # dominant cost (profiled r3: 1.02 of 1.27 s at N=4M), so halve its
-    # row width and synthesize the quadrupole channels per LEVEL from
-    # (m, sx, sy) as point-at-COM raw moments (rxx = sx^2/m, ...) — exact
-    # for single-particle cells, and the dropped intra-cell quadrupole at
-    # the tiny tile scale is far below the PM smoothing term. The three
-    # non-home (halo) candidates scatter only a COMPACT boundary subset
-    # (particles within H of a tile edge, ~1/3 of a tile) instead of all
-    # N rows; beyond the static cap, halo sources drop gracefully (edge
-    # cells lose a little neighbor mass — never their own tile's).
-    n = pos.shape[0]
     pay3 = payload[:, :3]
 
     def cand(cx, cy, tx_, ty_, sx_, sy_, ci_sub_):
@@ -1036,7 +1032,21 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
     for cx, cy in ((1, 0), (0, 1), (1, 1)):
         g3t = g3t.at[cand(cx, cy, tx_b, ty_b, sx_b, sy_b, sub_b)].add(
             pay_b, mode="drop")
-    g3k = g3t.reshape(T, Wf, Wf, 3)
+    return g3t.reshape(T, Wf, Wf, 3)
+
+
+def _tile_chain(local_w, g3k, orig, corner, size, deep: int, radius: int,
+                eps_sq, k: int, t: int, T: int):
+    """Per-tile sub-level chain: upsample the window locals and add the
+    sub-level M2L terms, then fold the tile aggregate ring. Replicated
+    arithmetic over the (small) tile grids — identical on every device
+    in the banded tree. Returns local_w [T, Wf, Wf, 9]."""
+    dtype = g3k.dtype
+    rD = 1 << deep
+    H = radius
+    W = t + 2 * H
+    f = 1 << k
+    Wf = W * f
 
     def synth6(g3):
         """Point-at-COM raw moments: (m, sx, sy) -> 6 channels."""
@@ -1047,7 +1057,6 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
 
     g6k = synth6(g3k)
 
-    # ---- pool tile grids to each sub-level -----------------------------
     pooled3 = {k: g3k}
     for j in range(k - 1, 0, -1):
         w_j = W * (1 << j)
@@ -1055,7 +1064,6 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
                       .reshape(T, w_j, 2, w_j, 2, 3).sum((2, 4)))
     sub_grids = {j: synth6(pooled3[j]) for j in range(1, k + 1)}
 
-    # ---- per-tile chain: upsample window locals + sub-level M2L --------
     s_D = size / rD
     corner_t = corner[None, :] + orig.astype(dtype) * s_D   # [T, 2]
     size_w = W * s_D
@@ -1072,7 +1080,6 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
         local_w = jnp.stack(tuple(a + b for a, b in zip(up, terms)),
                             axis=-1)                 # [T, W*2^j, ..., 9]
 
-    # ---- fold the tile aggregate ring into the tile locals -------------
     rr_full = radius - 1
     if rr_full >= 2:
         def fold_tile(lw, g6_j, c_t):
@@ -1083,8 +1090,29 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
             return jnp.stack(out, axis=-1)
 
         local_w = jax.vmap(fold_tile)(local_w, g6k, corner_t)
+    return local_w
 
-    # ---- per-particle refined evaluation -------------------------------
+
+def _tile_apply(pos, payload, bulk_pos, ci_f, b_par, local_w, g3k,
+                tile_slot, orig, corner, size, deep: int, radius: int,
+                eps_sq, k: int, t: int, T: int):
+    """Refined per-particle evaluation against the chained tile locals +
+    tile aggregates. Pure gather/VPU work over its input rows — the
+    banded tree calls it on a compacted per-band target subset."""
+    dtype = pos.dtype
+    rD = 1 << deep
+    H = radius
+    W = t + 2 * H
+    f = 1 << k
+    Wf = W * f
+    nt = rD // t
+    tx = ci_f[:, 0] // t
+    ty = ci_f[:, 1] // t
+    tid = tx * nt + ty
+    u = (bulk_pos - corner) / size
+    ci_sub = jnp.clip((u * (rD * f)).astype(jnp.int32), 0, rD * f - 1)
+    s_D = size / rD
+
     slot_home = tile_slot[tid]
     refined = (slot_home < T) & b_par
     sc = jnp.minimum(slot_home, T - 1)
@@ -1115,6 +1143,25 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
         g3kp.reshape(-1, 3), base, stride, payload[:, :3], pos,
         eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
     return refined, far_ref, near_ref
+
+
+def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
+               tid, tile_slot, orig, corner, size, deep: int, radius: int,
+               eps_sq, k: int, t: int, T: int):
+    """Per-tile chain + refined per-particle evaluation given the window
+    slice of the level-D locals (see _tile_refine; split into
+    _tile_scatter / _tile_chain / _tile_apply so the banded multi-chip
+    tree can scatter per-band subsets + psum and apply on band targets).
+    `tid` is accepted for callers that precomputed it (recomputed in
+    _tile_apply from ci_f)."""
+    del tid
+    g3k = _tile_scatter(payload, bulk_pos, ci_f, tile_slot, orig,
+                        corner, size, deep, radius, k, t, T)
+    local_w = _tile_chain(local_w, g3k, orig, corner, size, deep, radius,
+                          eps_sq, k, t, T)
+    return _tile_apply(pos, payload, bulk_pos, ci_f, b_par, local_w, g3k,
+                       tile_slot, orig, corner, size, deep, radius,
+                       eps_sq, k, t, T)
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",

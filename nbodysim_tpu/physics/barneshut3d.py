@@ -940,15 +940,16 @@ def _tile_select3(ci_f, b_par, deep: int, t: int, T: int, radius: int):
     return tid, tile_slot, orig
 
 
-def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
-                tid, tile_slot, orig, corner, size, deep: int, radius: int,
-                eps_sq, k: int, t: int, T: int):
-    """Per-tile chain + refined evaluation for the 3D octree (mirrors
-    barneshut._tile_eval; see _tile_refine3 / the 2D docstring)."""
-    from nbodysim_tpu.physics.barneshut import (_DEEP_SMOOTH,
-                                                _aggregate_window_eval)
-
-    dtype = pos.dtype
+def _tile_scatter3(payload, bulk_pos, ci_f, tile_slot, orig, corner, size,
+                   deep: int, radius: int, k: int, t: int, T: int):
+    """3D moment scatter into the selected tile windows (8 halo-direction
+    candidates) -> g4k [T, Wf, Wf, Wf, 4]. Split out of the tile stage so
+    the banded tree can scatter per-slab particle subsets and psum the
+    (small) tile grids. Monopole + dipole channels only; quadrupole
+    channels synthesized per level as point-at-COM raw moments (see the
+    2D _tile_scatter rationale — the scatter is the tile stage's dominant
+    cost)."""
+    dtype = bulk_pos.dtype
     rD = 1 << deep
     H = radius
     W = t + 2 * H
@@ -960,8 +961,6 @@ def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
     tz = ci_f[:, 2] // t
     u = (bulk_pos - corner) / size
     ci_sub = jnp.clip((u * (rD * f)).astype(jnp.int32), 0, rD * f - 1)
-
-    # ---- scatter moments into tile windows (8 halo-direction cands) ----
     mx = ci_f[:, 0] % t
     my = ci_f[:, 1] % t
     mz = ci_f[:, 2] % t
@@ -969,9 +968,6 @@ def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
     sy = jnp.where(my < H, -1, jnp.where(my >= t - H, 1, 0))
     sz = jnp.where(mz < H, -1, jnp.where(mz >= t - H, 1, 0))
 
-    # Monopole + dipole channels only; quadrupole channels synthesized per
-    # level as point-at-COM raw moments (see the 2D _tile_eval rationale —
-    # the scatter is the tile stage's dominant cost).
     g4t = jnp.zeros((T * Wf ** 3, 4), dtype)
     for cx, cy, cz in ((a, b, c) for a in (0, 1) for b in (0, 1)
                        for c in (0, 1)):
@@ -994,7 +990,20 @@ def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
             ok, ((slot * Wf + rel[:, 0]) * Wf + rel[:, 1]) * Wf
             + rel[:, 2], T * Wf ** 3)
         g4t = g4t.at[idx].add(payload[:, :4], mode="drop")
-    g4k = g4t.reshape(T, Wf, Wf, Wf, 4)
+    return g4t.reshape(T, Wf, Wf, Wf, 4)
+
+
+def _tile_chain3(local_w, g4k, orig, corner, size, deep: int, radius: int,
+                 eps_sq, k: int, t: int, T: int):
+    """3D per-tile sub-level chain (replicated arithmetic over the small
+    tile grids; mirrors barneshut._tile_chain). Returns local_w
+    [T, Wf, Wf, Wf, 19]."""
+    dtype = g4k.dtype
+    rD = 1 << deep
+    H = radius
+    W = t + 2 * H
+    f = 1 << k
+    Wf = W * f
 
     def synth10(g4):
         m, sx_, sy_, sz_ = (g4[..., i] for i in range(4))
@@ -1043,8 +1052,28 @@ def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
             return jnp.stack(out, axis=-1)
 
         local_w = jax.vmap(fold_tile)(local_w, g10k, corner_t)
+    return local_w
 
-    # ---- per-particle refined evaluation -------------------------------
+
+def _tile_apply3(pos, payload, bulk_pos, ci_f, b_par, local_w, g4k,
+                 tile_slot, orig, corner, size, deep: int, radius: int,
+                 eps_sq, k: int, t: int, T: int):
+    """3D refined per-particle evaluation (pure gather/VPU work over its
+    input rows; mirrors barneshut._tile_apply)."""
+    from nbodysim_tpu.physics.barneshut import _DEEP_SMOOTH
+
+    dtype = pos.dtype
+    rD = 1 << deep
+    H = radius
+    W = t + 2 * H
+    f = 1 << k
+    Wf = W * f
+    nt = rD // t
+    tid = (ci_f[:, 0] // t * nt + ci_f[:, 1] // t) * nt + ci_f[:, 2] // t
+    u = (bulk_pos - corner) / size
+    ci_sub = jnp.clip((u * (rD * f)).astype(jnp.int32), 0, rD * f - 1)
+    s_D = size / rD
+
     slot_home = tile_slot[tid]
     refined = (slot_home < T) & b_par
     sc = jnp.minimum(slot_home, T - 1)
@@ -1070,6 +1099,22 @@ def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
         g4kp.reshape(-1, 4), base, side, payload[:, :4], pos,
         eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
     return refined, far_ref, near_ref
+
+
+def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
+                tid, tile_slot, orig, corner, size, deep: int, radius: int,
+                eps_sq, k: int, t: int, T: int):
+    """Per-tile chain + refined evaluation for the 3D octree (mirrors
+    barneshut._tile_eval; split into _tile_scatter3 / _tile_chain3 /
+    _tile_apply3 for the banded tree)."""
+    del tid
+    g4k = _tile_scatter3(payload, bulk_pos, ci_f, tile_slot, orig,
+                         corner, size, deep, radius, k, t, T)
+    local_w = _tile_chain3(local_w, g4k, orig, corner, size, deep, radius,
+                           eps_sq, k, t, T)
+    return _tile_apply3(pos, payload, bulk_pos, ci_f, b_par, local_w, g4k,
+                        tile_slot, orig, corner, size, deep, radius,
+                        eps_sq, k, t, T)
 
 
 def _tile_refine3(pos, payload, bulk_pos, ci_f, b_par, local_deep,

@@ -135,6 +135,20 @@ def test_banded_deep_chain_compact_window(eight_devices):
                     force_backend="bh")
     _check(pos, mass, cfg, rtol=5e-5)
 
+    # Fallback leg: 7/8 of the particles in one blob overfills that
+    # band's deep-target capacity (c_deep = 4N/P + 1 rounded), so its
+    # device takes the full_deep cond branch while the others stay
+    # compact — mixed deep branches must still match.
+    assert compact_capacity(n, 64 // 8, 64) < (7 * n) // 8
+    k1, k2 = jax.random.split(jax.random.PRNGKey(9))
+    blob = (jax.random.uniform(k1, (7 * n // 8, 2), jnp.float32,
+                               -1000.0, 1000.0) * 0.01
+            + jnp.array([300.0, -200.0]))
+    rest = jax.random.uniform(k2, (n // 8, 2), jnp.float32,
+                              -1000.0, 1000.0)
+    pos2 = jnp.concatenate([blob, rest])
+    _check(pos2, mass, cfg, rtol=5e-5)
+
 
 def test_banded_tile_refinement_matches(eight_devices):
     """Hot-zone tile refinement under banding: the replicated tile chain
