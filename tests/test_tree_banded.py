@@ -258,6 +258,47 @@ def test_banded_per_device_flops_drop_with_mesh_size(eight_devices):
     assert fixed < 0.5 * flops_1, (fixed, flops_1)
 
 
+def test_banded_per_device_flops_deep_config(eight_devices):
+    """Same compiled-FLOP scaling model for the FLAGSHIP path: deep
+    chain + tile refinement on a clustered scene (r3 — after banding the
+    deep/tile per-particle stages). Measured at N=131k, L=7, deep=9,
+    tiles k=3/t=16: single 1.19e9; P=2/4/8 = 9.57/7.62/6.65e8 — the 1/P
+    fit predicts P=4 within 0.1%, with the scaling component 65% of the
+    single-chip program. The fixed floor (48%) is dominated by the
+    STATIC double-count of each compact/full fallback lax.cond (cost
+    analysis sums both branches; at runtime one executes)."""
+    n = 1 << 17
+    k1, k2 = jax.random.split(jax.random.PRNGKey(21))
+    pos = jax.random.uniform(k1, (n, 2), jnp.float32, -1000.0, 1000.0)
+    blob = pos[: n // 2] * 0.01 + jnp.array([300.0, -200.0])
+    pos = jnp.concatenate([blob, pos[n // 2:]])
+    mass = jax.random.uniform(k2, (n,), jnp.float32, 0.1, 10.0)
+    cfg = SimConfig(n=n, bh_levels=7, bh_deep_levels=9, bh_tile_levels=3,
+                    bh_tile_size=16, force_backend="bh")
+
+    flops_1 = _compiled_flops(lambda p, m: bh_accelerations(p, m, cfg),
+                              pos, mass)
+
+    def banded_flops(n_dev):
+        mesh = make_mesh(n_dev)
+
+        def f(pos_l, mass_l):
+            return banded_tree_accelerations(pos_l, mass_l, cfg, "shards")
+
+        fn = jax.shard_map(f, mesh=mesh,
+                           in_specs=(P("shards"), P("shards")),
+                           out_specs=P("shards"), check_vma=False)
+        return _compiled_flops(fn, pos, mass)
+
+    f2, f4, f8 = banded_flops(2), banded_flops(4), banded_flops(8)
+    assert f8 < f4 < f2 < flops_1, (flops_1, f2, f4, f8)
+    s = (f2 - f8) / (1 / 2 - 1 / 8)
+    fixed = f2 - s / 2
+    assert abs(fixed + s / 4 - f4) < 0.1 * f4, (fixed, s, f4)
+    assert s > 0.55 * flops_1, (s, flops_1)
+    assert fixed < 0.55 * flops_1, (fixed, flops_1)
+
+
 def test_banded_compact_window_matches(eight_devices):
     """Sizes where the compacted per-band window sort actually engages
     (asserted via the capacity model): parity with the single-chip tree —
