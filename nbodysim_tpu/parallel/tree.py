@@ -628,14 +628,14 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                     pay_s = jnp.where(valid_d[:, None], payload[si], 0.0)
                     return _tile_scatter(
                         pay_s, bulk_pos[si], ci_f[si], tile_slot, orig,
-                        corner, size, build_levels, radius, tk, tt, tc)
+                        corner, size, build_levels, radius, tk, tt, tc,
+                        src_mask=valid_d)
 
                 def full_grids(_):
-                    g = _tile_scatter(
+                    return _tile_scatter(
                         pay_band, bulk_pos, ci_f, tile_slot, orig,
-                        corner, size, build_levels, radius, tk, tt, tc)
-                    # match compact_grids' static [T, Wf, Wf, 3] shape
-                    return g
+                        corner, size, build_levels, radius, tk, tt, tc,
+                        src_mask=in_band)
 
                 g3k = lax.psum(
                     lax.cond(n_band <= c_deep, compact_grids, full_grids,

@@ -968,7 +968,8 @@ def _tile_select(ci_f, b_par, deep: int, t: int, T: int, radius: int):
 
 
 def _tile_scatter(payload, bulk_pos, ci_f, tile_slot, orig, corner, size,
-                  deep: int, radius: int, k: int, t: int, T: int):
+                  deep: int, radius: int, k: int, t: int, T: int,
+                  src_mask=None):
     """Moment scatter into the selected tile windows at sub-resolution
     -> g3k [T, Wf, Wf, 3]. A particle's deep cell can sit in up to 4
     selected windows (its home tile plus x/y/corner neighbors when within
@@ -1023,6 +1024,11 @@ def _tile_scatter(payload, bulk_pos, ci_f, tile_slot, orig, corner, size,
 
     b_cap = min(n, max(n // 4, 65536))
     on_edge = (sx != 0) | (sy != 0)
+    if src_mask is not None:
+        # Banded callers pass masked (zero-payload) rows for particles
+        # outside their band; keep those out of the edge-compaction cut
+        # so they cannot displace real halo sources at the static cap.
+        on_edge = on_edge & src_mask
     bidx = jnp.argsort(~on_edge)[:b_cap]
     b_ok = on_edge[bidx]
     pay_b = jnp.where(b_ok[:, None], pay3[bidx], 0.0)
