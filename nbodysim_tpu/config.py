@@ -102,7 +102,9 @@ class SimConfig:
     # cores without the global-grid HBM cliff. -1 (default) = auto: 3
     # levels whenever the deep chain is active; 0 = off; > 0 = explicit k.
     bh_tile_levels: int = -1
-    bh_tile_size: int = 32       # tile side, deep-level cells
+    bh_tile_size: int = 0        # tile side, deep-level cells; 0 = auto
+    #                              (32 in 2D, 8 in 3D — explicit values
+    #                              are honored in both dims)
     bh_tile_count: int = 8       # max refined tiles per eval
 
     # Numerics

@@ -127,6 +127,15 @@ def measure_step_throughput(
 
     config = SimConfig(n=n, **config_kw)
     state = init_scene(scene, config)
+    if config.enable_collisions:
+        # Match api.Simulation: the collision broad phase resolves from
+        # the ACTUAL distribution (clustered large-N scenes switch to the
+        # radius-scaled hash). Without this, a benched 'auto' would
+        # measure the lossy bucket path the Simulation API never runs.
+        from nbodysim_tpu.physics.collisions import (
+            resolve_collision_phase_for_state)
+
+        config = resolve_collision_phase_for_state(state, config)
     rollout = make_rollout(config, reps)
     # Scalar checksum: pulling the full [N, D] positions through the
     # tunnel costs ~100 ms/1M rows per lap and would pollute the timing.

@@ -1023,7 +1023,25 @@ def _tile_scatter(payload, bulk_pos, ci_f, tile_slot, orig, corner, size,
            .add(pay3, mode="drop"))
 
     b_cap = min(n, max(n // 4, 65536))
-    on_edge = (sx != 0) | (sy != 0)
+
+    def neigh_selected(cx, cy):
+        ctx = tx + (sx if cx else 0)
+        cty = ty + (sy if cy else 0)
+        ok = (ctx >= 0) & (ctx < nt) & (cty >= 0) & (cty < nt)
+        if cx:
+            ok = ok & (sx != 0)
+        if cy:
+            ok = ok & (sy != 0)
+        return ok & (tile_slot[jnp.where(ok, ctx * nt + cty,
+                                         nt * nt)] < T)
+
+    # Edge-compaction cut keyed on RELEVANT edges only: a particle on
+    # the edge of a tile whose neighbor is not selected would scatter to
+    # the drop index anyway, so it must not claim a slot at the static
+    # cap (at merger scale the raw edge band can exceed b_cap while the
+    # selected-adjacent subset is far smaller).
+    on_edge = (neigh_selected(1, 0) | neigh_selected(0, 1)
+               | neigh_selected(1, 1))
     if src_mask is not None:
         # Banded callers pass masked (zero-payload) rows for particles
         # outside their band; keep those out of the edge-compaction cut
@@ -1054,21 +1072,15 @@ def _tile_chain(local_w, g3k, orig, corner, size, deep: int, radius: int,
     f = 1 << k
     Wf = W * f
 
-    def synth6(g3):
-        """Point-at-COM raw moments: (m, sx, sy) -> 6 channels."""
-        m, sx_, sy_ = g3[..., 0], g3[..., 1], g3[..., 2]
-        inv = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
-        return jnp.stack((m, sx_, sy_, sx_ * sx_ * inv, sx_ * sy_ * inv,
-                          sy_ * sy_ * inv), axis=-1)
-
-    g6k = synth6(g3k)
+    g6k = _synth_quad_channels(g3k)
 
     pooled3 = {k: g3k}
     for j in range(k - 1, 0, -1):
         w_j = W * (1 << j)
         pooled3[j] = (pooled3[j + 1]
                       .reshape(T, w_j, 2, w_j, 2, 3).sum((2, 4)))
-    sub_grids = {j: synth6(pooled3[j]) for j in range(1, k + 1)}
+    sub_grids = {j: _synth_quad_channels(pooled3[j])
+                 for j in range(1, k + 1)}
 
     s_D = size / rD
     corner_t = corner[None, :] + orig.astype(dtype) * s_D   # [T, 2]
@@ -1438,7 +1450,7 @@ def _resolve_tile_params(config: SimConfig, deep: int,
         return 0, 0, 0
     if k < 0:
         k = 3
-    t = config.bh_tile_size
+    t = config.bh_tile_size or 32      # 0 = auto (2D default side)
     r_d = 1 << deep
     count = config.bh_tile_count
     while t > 2 and (r_d // max(t, 1)) ** 2 < max(count, 4):

@@ -515,7 +515,11 @@ def _m2l_conv3(gx, corner, size, r_full: int, eps_sq, radius: int,
             sl.reshape(-1, 80), wk, (((1,), (0,)), ((), ())),
             precision=lax.Precision.HIGHEST), None
 
-    out0 = jnp.zeros((hb * h * h, 152), dtype)
+    # Carry seeded FROM the input so its varying-manual-axes type matches
+    # the body output under shard_map (see the 2D _m2l_conv note — a
+    # plain jnp.zeros carry trips the scan carry typecheck when m8 is
+    # device-varying).
+    out0 = jnp.zeros((hb * h * h, 152), dtype) + 0.0 * m8[0, 0, 0, 0]
     out, _ = lax.scan(body, out0, (po, W))
     # back to physical units: F, J, H scale as s_l^-(2, 3, 4).
     inv_s = 1.0 / s_l
@@ -1005,15 +1009,7 @@ def _tile_chain3(local_w, g4k, orig, corner, size, deep: int, radius: int,
     f = 1 << k
     Wf = W * f
 
-    def synth10(g4):
-        m, sx_, sy_, sz_ = (g4[..., i] for i in range(4))
-        inv = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
-        return jnp.stack(
-            (m, sx_, sy_, sz_, sx_ * sx_ * inv, sx_ * sy_ * inv,
-             sx_ * sz_ * inv, sy_ * sy_ * inv, sy_ * sz_ * inv,
-             sz_ * sz_ * inv), axis=-1)
-
-    g10k = synth10(g4k)
+    g10k = _synth_quad_channels3(g4k)
 
     # ---- pool tile grids to each sub-level -----------------------------
     pooled4 = {k: g4k}
@@ -1022,7 +1018,8 @@ def _tile_chain3(local_w, g4k, orig, corner, size, deep: int, radius: int,
         pooled4[j] = (pooled4[j + 1]
                       .reshape(T, w_j, 2, w_j, 2, w_j, 2, 4)
                       .sum((2, 4, 6)))
-    sub_grids = {j: synth10(pooled4[j]) for j in range(1, k + 1)}
+    sub_grids = {j: _synth_quad_channels3(pooled4[j])
+                 for j in range(1, k + 1)}
 
     # ---- per-tile chain: upsample window locals + sub-level M2L --------
     s_D = size / rD
@@ -1152,9 +1149,9 @@ def _resolve_tile_params3(config: SimConfig, deep: int,
         return 0, 0, 0
     if k < 0:
         k = 3
-    t = config.bh_tile_size
-    if t == 32:      # 2D-oriented default; 3D wants a smaller side
-        t = 8
+    t = config.bh_tile_size or 8      # 0 = auto; explicit values honored
+    #                                   (r3 review: t==32 used to be
+    #                                   silently coerced to 8 here)
     r_d = 1 << deep
     count = config.bh_tile_count
     while t > 2 and (r_d // max(t, 1)) ** 3 < max(count, 8):
