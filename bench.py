@@ -151,6 +151,31 @@ def _bench_baseline_config(idx: int) -> dict:
     raise SystemExit(f"unknown --config {idx} (1-5)")
 
 
+def _device_watchdog(seconds: float = 180.0):
+    """Fail fast (exit 3) if the first trivial device computation cannot
+    complete — the axon tunnel relay can die mid-round (r3), after which
+    any compile blocks forever and would hang the driver's bench run."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "bench aborted: device unreachable",
+                "value": None, "unit": None, "vs_baseline": None,
+                "error": f"first device op did not complete in "
+                         f"{seconds:.0f}s (tunnel relay down?)"}),
+                flush=True)
+            os._exit(3)
+
+    t = threading.Thread(target=fire, daemon=True)
+    t.start()
+    np.asarray(jnp.ones((8,)).sum())
+    done.set()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
@@ -161,6 +186,8 @@ def main():
     ap.add_argument("--config", type=int, default=None,
                     help="run a BASELINE.json config preset (1-5)")
     args = ap.parse_args()
+
+    _device_watchdog()
 
     if args.config is not None:
         print(json.dumps(_bench_baseline_config(args.config)))
