@@ -70,6 +70,7 @@ from nbodysim_tpu.physics.barneshut import (
     _resolve_levels,
     _resolve_radius,
     _resolve_tile_params,
+    _taylor_eval,
     _tile_select,
     heavy_coupling,
 )
@@ -413,14 +414,8 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         dxp = pos_s[:, 0] - centx
         dyp = pos_s[:, 1] - centy
         g = loc9[:, lr * res + celly]                       # [9, L]
-        (fx_g, fy_g, jxx_g, jxy_g, jyy_g,
-         hxxx_g, hxxy_g, hxyy_g, hyyy_g) = (g[i] for i in range(9))
-        far_x = (fx_g + jxx_g * dxp + jxy_g * dyp
-                 + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
-                          + hxyy_g * dyp * dyp))
-        far_y = (fy_g + jxy_g * dxp + jyy_g * dyp
-                 + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
-                          + hyyy_g * dyp * dyp))
+        far_x, far_y = _taylor_eval(tuple(g[i] for i in range(9)),
+                                    dxp, dyp)
         far = jnp.stack([far_x, far_y], axis=-1)
         total = g_const * (jnp.where(in_band_s[:, None], far, 0.0)
                            + acc_s)
@@ -475,7 +470,11 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
         for ox in range(2 * rr + 1):
             for oy in range(2 * rr + 1):
                 bmask = bmask | hotp[ox:ox + res, oy:oy + res]
-        b_par = bmask.reshape(-1)[flat]                        # [N]
+        # ~is_out: COM-parked outliers never take the tile/deep path
+        # (their rows are discarded), but they used to inflate tile
+        # SCORES — up to 4096 phantom targets could displace a
+        # genuinely hot tile from the top-T set (r3 review).
+        b_par = bmask.reshape(-1)[flat] & ~is_out              # [N]
 
         # Fold the cheb>=2 aggregate ring into the deep locals (dense
         # banded stencil; barneshut._fold_aggregate_ring) — the tile path
@@ -515,14 +514,8 @@ def _banded_eval(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
             dxd = pos_s[:, 0] - centx_d
             dyd = pos_s[:, 1] - centy_d
             gd = locd[:, lrow_d * res_b + ci_f_s[:, 1]]        # [9, C]
-            (fx_d, fy_d, jxx_d, jxy_d, jyy_d,
-             hxxx_d, hxxy_d, hxyy_d, hyyy_d) = (gd[i] for i in range(9))
-            fdx = (fx_d + jxx_d * dxd + jxy_d * dyd
-                   + 0.5 * (hxxx_d * dxd * dxd + 2 * hxxy_d * dxd * dyd
-                            + hxyy_d * dyd * dyd))
-            fdy = (fy_d + jxy_d * dxd + jyy_d * dyd
-                   + 0.5 * (hxxy_d * dxd * dxd + 2 * hxyy_d * dxd * dyd
-                            + hyyy_d * dyd * dyd))
+            fdx, fdy = _taylor_eval(tuple(gd[i] for i in range(9)),
+                                    dxd, dyd)
             far_d = jnp.stack([fdx, fdy], axis=-1)
             near_d = _deep_near_aggregates(pos_s, pay3_s, gp, ci_f_s,
                                            eps_sq, s_d, rin, row0=row0_b)

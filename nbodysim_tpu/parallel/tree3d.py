@@ -427,7 +427,11 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                 for oz in range(2 * rr + 1):
                     bmask = bmask | hotp[ox:ox + res, oy:oy + res,
                                          oz:oz + res]
-        b_par = bmask.reshape(-1)[flat]                        # [N]
+        # ~is_out: COM-parked outliers never take the tile/deep path
+        # (their rows are discarded), but they used to inflate tile
+        # SCORES — up to 4096 phantom targets could displace a
+        # genuinely hot tile from the top-T set (r3 review).
+        b_par = bmask.reshape(-1)[flat] & ~is_out              # [N]
 
         # Fold the cheb>=2 aggregate shell into the deep locals (dense
         # banded stencil) — the tile path below must slice the UN-folded

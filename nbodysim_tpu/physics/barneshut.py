@@ -479,6 +479,22 @@ def _l2l_upsample(local, s_child):
     return fxc, fyc, jxxc, jxyc, jyyc, hxxxu, hxxyu, hxyyu, hyyyu
 
 
+def _taylor_eval(g9, dxp, dyp):
+    """p=2 Taylor evaluation of the 9 local terms (F, J, H) at in-cell
+    offsets (dxp, dyp): a = F + J d + (1/2) d^T H d per component. The
+    single shared implementation for every L2P-style evaluation
+    (bucket/deep L2P, tile apply, banded field stages) — the 2D analogue
+    of barneshut3d._taylor_eval3."""
+    fx, fy, jxx, jxy, jyy, hxxx, hxxy, hxyy, hyyy = g9
+    ax = (fx + jxx * dxp + jxy * dyp
+          + 0.5 * (hxxx * dxp * dxp + 2 * hxxy * dxp * dyp
+                   + hxyy * dyp * dyp))
+    ay = (fy + jxy * dxp + jyy * dyp
+          + 0.5 * (hxxy * dxp * dxp + 2 * hxyy * dxp * dyp
+                   + hyyy * dyp * dyp))
+    return ax, ay
+
+
 def _near_masked_blocked(tgt_pos, tgt_cell, src_pos, src_mass, src_cell,
                          eps_sq, rr1: int):
     """Near-cell-masked pairwise accs (cheb(cells) <= rr1), blocked over
@@ -959,8 +975,12 @@ def _tile_select(ci_f, b_par, deep: int, t: int, T: int, radius: int):
               .at[tid].add(b_par.astype(jnp.int32)))
     top_s, top_i = lax.top_k(scores, T)
     valid_tile = top_s > 0
+    # Invalid (score-0) tiles scatter to nt*nt+1 — truly out of bounds,
+    # so mode="drop" drops them and the documented sentinel row at
+    # nt*nt stays T (r3 review: scattering them to nt*nt corrupted the
+    # sentinel whenever fewer than T tiles had targets).
     tile_slot = (jnp.full((nt * nt + 1,), T, jnp.int32)
-                 .at[jnp.where(valid_tile, top_i, nt * nt)]
+                 .at[jnp.where(valid_tile, top_i, nt * nt + 1)]
                  .set(jnp.arange(T, dtype=jnp.int32), mode="drop"))
     orig = (jnp.stack([top_i // nt, top_i % nt], axis=-1) * t
             - radius)                                           # [T, 2]
@@ -1143,14 +1163,8 @@ def _tile_apply(pos, payload, bulk_pos, ci_f, b_par, local_w, g3k,
     dyp = pos[:, 1] - centy
     loc_flat = local_w.reshape(T * Wf * Wf, 9)
     g9 = loc_flat[(sc * Wf + rel[:, 0]) * Wf + rel[:, 1]]    # [N, 9]
-    (fx_g, fy_g, jxx_g, jxy_g, jyy_g,
-     hxxx_g, hxxy_g, hxyy_g, hyyy_g) = (g9[:, i] for i in range(9))
-    far_x = (fx_g + jxx_g * dxp + jxy_g * dyp
-             + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
-                      + hxyy_g * dyp * dyp))
-    far_y = (fy_g + jxy_g * dxp + jyy_g * dyp
-             + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
-                      + hyyy_g * dyp * dyp))
+    far_x, far_y = _taylor_eval(tuple(g9[:, i] for i in range(9)),
+                                dxp, dyp)
     far_ref = jnp.stack([far_x, far_y], axis=-1)
 
     rin = min(radius - 1, 1)   # inner 3x3; the ring folded into local_w
@@ -1288,7 +1302,11 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
         for ox in range(2 * rr + 1):
             for oy in range(2 * rr + 1):
                 bmask = bmask | hotp[ox:ox + res, oy:oy + res]
-        b_par = bmask.reshape(-1)[flat]                        # [N]
+        # ~is_out: COM-parked outliers never take the tile/deep path
+        # (their rows are discarded), but they used to inflate tile
+        # SCORES — up to 4096 phantom targets could displace a
+        # genuinely hot tile from the top-T set (r3 review).
+        b_par = bmask.reshape(-1)[flat] & ~is_out              # [N]
 
         payload = _moment_payload(pos, mass)
         rrd = radius - 1
@@ -1344,14 +1362,7 @@ def _l2p_eval(local, ci, pos, corner, size, level: int):
     dyp = pos[:, 1] - centy
     loc9 = jnp.stack(local, axis=0).reshape(9, res * res)
     g = loc9[:, cellx * res + celly]                   # [9, N]
-    (fx_g, fy_g, jxx_g, jxy_g, jyy_g,
-     hxxx_g, hxxy_g, hxyy_g, hyyy_g) = (g[i] for i in range(9))
-    far_x = (fx_g + jxx_g * dxp + jxy_g * dyp
-             + 0.5 * (hxxx_g * dxp * dxp + 2 * hxxy_g * dxp * dyp
-                      + hxyy_g * dyp * dyp))
-    far_y = (fy_g + jxy_g * dxp + jyy_g * dyp
-             + 0.5 * (hxxy_g * dxp * dxp + 2 * hxyy_g * dxp * dyp
-                      + hyyy_g * dyp * dyp))
+    far_x, far_y = _taylor_eval(tuple(g[i] for i in range(9)), dxp, dyp)
     return jnp.stack([far_x, far_y], axis=-1)
 
 
@@ -1367,8 +1378,14 @@ def bh_near_overflow(pos: jax.Array, mass: jax.Array,
     res = 1 << levels
 
     ext = _extract_heavy_outliers(pos, mass)
-    _, _, _, _, flat = _build_pyramid(ext["bulk_pos"], ext["tree_mass"],
-                                      levels)
+    # Cell indices directly (r3 review: _build_pyramid here executed the
+    # full 6-channel scatter + every pooling level EAGERLY on each
+    # capacity check — ~0.37 s at N=4M over the serial tunnel — only to
+    # be discarded).
+    corner, size = _bounding_square(ext["bulk_pos"])
+    u = (ext["bulk_pos"] - corner) / size
+    ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+    flat = ci[:, 0] * res + ci[:, 1]
     flat_nf = jnp.where(ext["is_out"], res * res + jnp.arange(n), flat)
 
     flat_s = jnp.sort(flat_nf)

@@ -936,8 +936,10 @@ def _tile_select3(ci_f, b_par, deep: int, t: int, T: int, radius: int):
               .at[tid].add(b_par.astype(jnp.int32)))
     top_s, top_i = lax.top_k(scores, T)
     valid_tile = top_s > 0
+    # Invalid tiles scatter truly OOB so the sentinel row stays T (see
+    # barneshut._tile_select).
     tile_slot = (jnp.full((nt ** 3 + 1,), T, jnp.int32)
-                 .at[jnp.where(valid_tile, top_i, nt ** 3)]
+                 .at[jnp.where(valid_tile, top_i, nt ** 3 + 1)]
                  .set(jnp.arange(T, dtype=jnp.int32), mode="drop"))
     orig = (jnp.stack([top_i // (nt * nt), (top_i // nt) % nt,
                        top_i % nt], axis=-1) * t - radius)       # [T, 3]
@@ -1243,7 +1245,11 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                 for oz in range(2 * rr + 1):
                     bmask = bmask | hotp[ox:ox + res, oy:oy + res,
                                          oz:oz + res]
-        b_par = bmask.reshape(-1)[flat]                        # [N]
+        # ~is_out: COM-parked outliers never take the tile/deep path
+        # (their rows are discarded), but they used to inflate tile
+        # SCORES — up to 4096 phantom targets could displace a
+        # genuinely hot tile from the top-T set (r3 review).
+        b_par = bmask.reshape(-1)[flat] & ~is_out              # [N]
 
         payload = _moment_payload3(pos, tree_mass)
         rrd = radius - 1
@@ -1355,8 +1361,12 @@ def bh3_near_overflow(pos: jax.Array, mass: jax.Array,
     res = 1 << levels
 
     ext = _extract_heavy_outliers(pos, mass)
-    _, _, _, _, flat = _build_pyramid3(ext["bulk_pos"], ext["tree_mass"],
-                                       levels)
+    # Cell indices directly — no need to build the moment pyramid for an
+    # occupancy count (see bh_near_overflow).
+    corner, size = _bounding_cube(ext["bulk_pos"])
+    u = (ext["bulk_pos"] - corner) / size
+    ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+    flat = (ci[:, 0] * res + ci[:, 1]) * res + ci[:, 2]
     flat_nf = jnp.where(ext["is_out"], res**3 + jnp.arange(n), flat)
     flat_s = jnp.sort(flat_nf)
     first = sorted_first_occurrence(flat_s)
