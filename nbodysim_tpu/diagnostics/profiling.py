@@ -67,7 +67,7 @@ class Stopwatch:
         return units / self.best
 
 
-def chain_evals(fn: Callable, x0: jax.Array, aux, reps: int):
+def chain_evals(fn: Callable, reps: int):
     """Build a jitted function running `reps` dependent evals of fn under
     one lax.scan dispatch (defeats per-call dispatch latency and any
     non-blocking sync over the device tunnel). Returns a SCALAR checksum,
@@ -102,7 +102,7 @@ def measure_force_throughput(
     mass = jax.random.uniform(k2, (n,), jnp.float32, 0.1, 10.0)
 
     f = chain_evals(
-        lambda p, m: compute_accelerations(p, m, config), pos, mass, reps)
+        lambda p, m: compute_accelerations(p, m, config), reps)
     np.asarray(f(pos, mass))  # compile + warm
     sw = Stopwatch()
     for _ in range(3):  # best-of-3: single tunnel laps vary up to ~1.5x
@@ -127,15 +127,24 @@ def measure_step_throughput(
 
     config = SimConfig(n=n, **config_kw)
     state = init_scene(scene, config)
+    # Match api.Simulation: both probes resolve from the ACTUAL
+    # distribution (force 'auto' pins the backend + deep chain; clustered
+    # large-N collisions switch to the radius-scaled hash). Without this,
+    # a benched 'auto' measures a configuration the Simulation API never
+    # runs.
+    if config.force_backend == "auto":
+        from nbodysim_tpu.physics.forces import resolve_config_for_state
+
+        config = resolve_config_for_state(state.pos, state.mass, config)
     if config.enable_collisions:
-        # Match api.Simulation: the collision broad phase resolves from
-        # the ACTUAL distribution (clustered large-N scenes switch to the
-        # radius-scaled hash). Without this, a benched 'auto' would
-        # measure the lossy bucket path the Simulation API never runs.
         from nbodysim_tpu.physics.collisions import (
             resolve_collision_phase_for_state)
 
         config = resolve_collision_phase_for_state(state, config)
+    if config.integrator == "leapfrog_kdk":
+        from nbodysim_tpu.physics.integrators import prime_accelerations
+
+        state = prime_accelerations(state, config)
     rollout = make_rollout(config, reps)
     # Scalar checksum: pulling the full [N, D] positions through the
     # tunnel costs ~100 ms/1M rows per lap and would pollute the timing.

@@ -308,7 +308,9 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
         d = pos_s[cand] - pos_t[:, None, :]                      # [B, K, D]
         v = vel_s[cand] - vel_t[:, None, :]
         m_j = mass_s[cand]
-        w1 = m_j / (mass_t[:, None] + m_j)
+        msum = mass_t[:, None] + m_j
+        valid = valid & (msum > 0)   # zero-mass pairs: no impulse, no NaN
+        w1 = jnp.where(valid, m_j / jnp.where(msum > 0, msum, 1.0), 0.0)
         r = radius_t[:, None] + radius_s[cand]
 
         dpos, dvel = _pair_deltas(d, v, w1, r, valid,
@@ -367,14 +369,19 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
         o = (pos_s[o_idx], vel_s[o_idx],
              jnp.where(o_valid, mass_s[o_idx], 0.0),
              radius_s[o_idx], cell_s[o_idx])
-        # (b): everyone <- overflow sources (cheb <= 1). Big targets
+        # (b): targets <- overflow sources (cheb <= 1). Big targets
         # already received overflow-small impulses through dp_b2 (whose
         # small_src includes overflow smalls); adding them again would
-        # double one side of each big/overflow pair.
+        # double one side of each big/overflow pair. UNSELECTED overflow
+        # targets (beyond m_cap) are excluded too: they are in no source
+        # set, so receiving the impulse one-sided would inject net
+        # momentum every step — beyond-capacity pairs drop SYMMETRICALLY
+        # instead (r3 review).
+        sel_over = jnp.zeros((n,), bool).at[o_idx].set(o_valid)
         dp_b, dv_b = _cheb_pair_deltas_blocked(everyone, o, dim, impulse)
-        not_big = ~big_s[:, None]
-        dpos_s = dpos_s + jnp.where(not_big, dp_b, 0.0)
-        dvel_s = dvel_s + jnp.where(not_big, dv_b, 0.0)
+        tgt_ok = (~big_s & (in_win | sel_over))[:, None]
+        dpos_s = dpos_s + jnp.where(tgt_ok, dp_b, 0.0)
+        dvel_s = dvel_s + jnp.where(tgt_ok, dv_b, 0.0)
         # (c): overflow targets <- in-window sources (cheb <= 1).
         in_win_src = (pos_s, vel_s, jnp.where(in_win, mass_s, 0.0),
                       radius_s, cell_s)
@@ -449,7 +456,13 @@ def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:
 
     cell = jnp.clip(((pos - corner) / cell_size).astype(jnp.int32),
                     0, res - 1)                                    # [N, 2]
-    flat = cell[:, 0] * res + cell[:, 1]
+    # Bigs rank in a virtual cell past the grid: they are never scattered
+    # into bucket slots (exact big passes cover them), so letting them
+    # consume slot ranks pushed real smalls past the cap — and made the
+    # occupancy probe (collision_bucket_overflow, which excludes bigs)
+    # undercount actual overflow by up to 64 (r3 review).
+    flat = jnp.where(is_big, res * res,
+                     cell[:, 0] * res + cell[:, 1])
 
     order = jnp.argsort(flat)
     flat_s = flat[order]
@@ -615,10 +628,14 @@ def _bucket_pass(state: ParticleState, config: SimConfig) -> ParticleState:
         # Big targets already received overflow-small impulses through
         # dp_b2 (whose small_src includes overflow smalls) — adding dp_b's
         # big rows would double the big side of each big/overflow pair and
-        # inject momentum. Mask them out.
-        not_big = ~big_s[:, None]
-        dpos_s = dpos_s + jnp.where(not_big, dp_b, 0.0)
-        dvel_s = dvel_s + jnp.where(not_big, dv_b, 0.0)
+        # inject momentum. UNSELECTED overflow targets (beyond m_cap) are
+        # excluded too: they are in no source set, so the one-sided
+        # impulse would inject net momentum — beyond-capacity pairs drop
+        # SYMMETRICALLY instead (r3 review).
+        sel_over = jnp.zeros((n,), bool).at[o_idx].set(o_valid)
+        tgt_ok = (~big_s & (in_cap | sel_over))[:, None]
+        dpos_s = dpos_s + jnp.where(tgt_ok, dp_b, 0.0)
+        dvel_s = dvel_s + jnp.where(tgt_ok, dv_b, 0.0)
         dp_c, dv_c = blocked_pairs(o, in_cap_src)
         dpos_s = dpos_s.at[o_idx].add(jnp.where(o_valid[:, None], dp_c, 0.0))
         dvel_s = dvel_s.at[o_idx].add(jnp.where(o_valid[:, None], dv_c, 0.0))

@@ -46,6 +46,8 @@ def save_video(frames: Iterable, path: str, fps: int = 30) -> str:
     """Encode frames to mp4 (OpenCV, no ffmpeg needed) or gif (PIL)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     frames = [np.asarray(f) for f in frames]
+    if not frames:
+        raise ValueError("save_video: no frames to encode")
     if path.endswith(".gif"):
         import imageio
 
@@ -159,6 +161,9 @@ class StreamingVideoWriter:
                                               self._cv2.COLOR_RGB2BGR))
 
     def finish(self) -> str:
+        if self._writer is None and self._gif_frames is None:
+            raise ValueError(
+                "StreamingVideoWriter.finish: no frames were written")
         if self._writer is not None:
             self._writer.release()
             return self.path
@@ -196,6 +201,18 @@ def render_rollout(
     from nbodysim_tpu.physics.integrators import make_rollout, prime_accelerations
     from nbodysim_tpu.render.splat import render_frame
 
+    # Same probes as api.Simulation (r3 review: CLI renders used to
+    # bypass them — clustered large-N scenes silently ran the lossy
+    # bucket broad phase and the capacity-limited plain tree).
+    if config.force_backend == "auto":
+        from nbodysim_tpu.physics.forces import resolve_config_for_state
+
+        config = resolve_config_for_state(state.pos, state.mass, config)
+    if config.enable_collisions:
+        from nbodysim_tpu.physics.collisions import (
+            resolve_collision_phase_for_state)
+
+        config = resolve_collision_phase_for_state(state, config)
     if config.integrator == "leapfrog_kdk":
         state = prime_accelerations(state, config)
     rollout = make_rollout(config, steps_per_frame)

@@ -257,6 +257,42 @@ def test_bucket_pass_momentum_large_random():
     assert not np.allclose(np.asarray(out.vel), np.asarray(vel))
 
 
+def test_residual_beyond_cap_conserves_momentum(monkeypatch):
+    """Overflow BEYOND the residual capacity drops pairs SYMMETRICALLY:
+    the old one-sided (b) pass gave unselected-overflow targets impulses
+    from selected-overflow sources without the reciprocal, injecting net
+    momentum every step (r3 review). Covers the bucket and hash paths."""
+    import jax
+
+    import nbodysim_tpu.physics.collisions as C
+    from nbodysim_tpu.physics.collisions import _bucket_pass, _grid_pass
+
+    monkeypatch.setattr(C, "_OVERFLOW_CAP", 32)
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    n = 512
+    # One dense overlapping blob inside a wide domain: the blob cell
+    # overflows far past cap + the 32-slot residual, so unselected
+    # overflow exists.
+    blob = 5.0 * jax.random.normal(k1, (n - 8, 2))
+    far = jax.random.uniform(jax.random.PRNGKey(8), (8, 2), jnp.float32,
+                             -20000.0, 20000.0)
+    pos = jnp.concatenate([blob, far])
+    vel = jax.random.uniform(k2, (n, 2), jnp.float32, -50.0, 50.0)
+    mass = jax.random.uniform(k3, (n,), jnp.float32, 0.5, 2.0)
+    radius = jnp.full((n,), 0.5)
+    state = ParticleState.create(pos, vel, mass, radius)
+    p0 = np.asarray(jnp.sum(mass[:, None] * vel, 0))
+    scale = float(jnp.sum(mass * jnp.linalg.norm(vel, axis=-1)))
+
+    for pass_fn, kw in ((_bucket_pass, dict()),
+                        (_grid_pass, dict(collision_cell_size=0.0))):
+        out = pass_fn(state, _cfg(collision_max_neighbors=8, **kw))
+        assert bool(jnp.all(jnp.isfinite(out.vel)))
+        p1 = np.asarray(jnp.sum(mass[:, None] * out.vel, 0))
+        np.testing.assert_allclose(p1, p0, atol=scale * 1e-5)
+        assert not np.allclose(np.asarray(out.vel), np.asarray(vel))
+
+
 def test_pallas_collision_kernel_matches_xla():
     """The Pallas dense narrow phase (kernels/collide.py, interpret mode)
     must reproduce the blocked-XLA _pair_deltas oracle bit-for-bit-ish on
