@@ -435,13 +435,19 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
 
         # Fold the cheb>=2 aggregate shell into the deep locals (dense
         # banded stencil) — the tile path below must slice the UN-folded
-        # local_deep. No-op at the 3D default R=2.
+        # local_deep. radius is static: skip the halo collectives + the
+        # padded 10-channel window entirely at the 3D default R=2, where
+        # the fold is a no-op (r3 review — XLA DCE of collective-permute
+        # is not worth trusting on 20-90 s remote compiles).
         rrd = radius - 1
-        wring = _halo_window3(band_grids[build_levels], rrd, p_dev,
-                              axis_name)
-        local_agg = _fold_aggregate_ring3(
-            local_deep, wring, corner, size, res_b, eps_sq, radius,
-            row0=row0_b, rows=rb_b)
+        if rrd >= 2:
+            wring = _halo_window3(band_grids[build_levels], rrd, p_dev,
+                                  axis_name)
+            local_agg = _fold_aggregate_ring3(
+                local_deep, wring, corner, size, res_b, eps_sq, radius,
+                row0=row0_b, rows=rb_b)
+        else:
+            local_agg = local_deep
 
         # Deep L2P + smoothed aggregates on band particles (deep bands
         # align with bucket bands). Per-particle gather/VPU stages run
@@ -564,12 +570,14 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                     pay_s = jnp.where(valid_d[:, None], payload[si], 0.0)
                     return _tile_scatter3(
                         pay_s, bulk_pos[si], ci_f[si], tile_slot, orig,
-                        corner, size, build_levels, radius, tk, tt, tc)
+                        corner, size, build_levels, radius, tk, tt, tc,
+                        src_mask=valid_d)
 
                 def full_grids(_):
                     return _tile_scatter3(
                         pay_band, bulk_pos, ci_f, tile_slot, orig,
-                        corner, size, build_levels, radius, tk, tt, tc)
+                        corner, size, build_levels, radius, tk, tt, tc,
+                        src_mask=in_band)
 
                 g4k = lax.psum(
                     lax.cond(n_band <= c_deep, compact_grids, full_grids,

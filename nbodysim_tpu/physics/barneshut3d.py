@@ -55,7 +55,6 @@ from nbodysim_tpu.physics.barneshut import (
     _OVERFLOW_SMALL,
     _extract_heavy_outliers,
     _near_masked_blocked,
-    _resolve_radius,
     heavy_coupling,
 )
 
@@ -947,14 +946,21 @@ def _tile_select3(ci_f, b_par, deep: int, t: int, T: int, radius: int):
 
 
 def _tile_scatter3(payload, bulk_pos, ci_f, tile_slot, orig, corner, size,
-                   deep: int, radius: int, k: int, t: int, T: int):
+                   deep: int, radius: int, k: int, t: int, T: int,
+                   src_mask=None):
     """3D moment scatter into the selected tile windows (8 halo-direction
     candidates) -> g4k [T, Wf, Wf, Wf, 4]. Split out of the tile stage so
     the banded tree can scatter per-slab particle subsets and psum the
     (small) tile grids. Monopole + dipole channels only; quadrupole
     channels synthesized per level as point-at-COM raw moments (see the
     2D _tile_scatter rationale — the scatter is the tile stage's dominant
-    cost)."""
+    cost). As in 2D, the 7 non-home halo candidates scatter only a
+    COMPACT subset keyed on RELEVANT edges (particle within H of a tile
+    edge AND that neighbor tile actually selected) — 3D needs it more
+    (7 full-length scatters otherwise); beyond the static cap, halo
+    sources drop gracefully. src_mask (banded callers) keeps masked
+    zero-payload rows out of the compaction cut."""
+    n = bulk_pos.shape[0]
     dtype = bulk_pos.dtype
     rD = 1 << deep
     H = radius
@@ -974,9 +980,35 @@ def _tile_scatter3(payload, bulk_pos, ci_f, tile_slot, orig, corner, size,
     sy = jnp.where(my < H, -1, jnp.where(my >= t - H, 1, 0))
     sz = jnp.where(mz < H, -1, jnp.where(mz >= t - H, 1, 0))
 
-    g4t = jnp.zeros((T * Wf ** 3, 4), dtype)
-    for cx, cy, cz in ((a, b, c) for a in (0, 1) for b in (0, 1)
-                       for c in (0, 1)):
+    halo = [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)
+            if (a, b, c) != (0, 0, 0)]
+
+    def cand(cx, cy, cz, tx_, ty_, tz_, sx_, sy_, sz_, sub_):
+        ctx = tx_ + (sx_ if cx else 0)
+        cty = ty_ + (sy_ if cy else 0)
+        ctz = tz_ + (sz_ if cz else 0)
+        ok = ((ctx >= 0) & (ctx < nt) & (cty >= 0) & (cty < nt)
+              & (ctz >= 0) & (ctz < nt))
+        if cx:
+            ok = ok & (sx_ != 0)
+        if cy:
+            ok = ok & (sy_ != 0)
+        if cz:
+            ok = ok & (sz_ != 0)
+        slot = tile_slot[jnp.where(ok, (ctx * nt + cty) * nt + ctz,
+                                   nt ** 3)]
+        ok = ok & (slot < T)
+        rel = sub_ - orig[jnp.minimum(slot, T - 1)] * f         # [., 3]
+        return jnp.where(
+            ok, ((slot * Wf + rel[:, 0]) * Wf + rel[:, 1]) * Wf
+            + rel[:, 2], T * Wf ** 3)
+
+    pay4 = payload[:, :4]
+    g4t = (jnp.zeros((T * Wf ** 3, 4), dtype)
+           .at[cand(0, 0, 0, tx, ty, tz, sx, sy, sz, ci_sub)]
+           .add(pay4, mode="drop"))
+
+    def neigh_selected(cx, cy, cz):
         ctx = tx + (sx if cx else 0)
         cty = ty + (sy if cy else 0)
         ctz = tz + (sz if cz else 0)
@@ -988,14 +1020,24 @@ def _tile_scatter3(payload, bulk_pos, ci_f, tile_slot, orig, corner, size,
             ok = ok & (sy != 0)
         if cz:
             ok = ok & (sz != 0)
-        slot = tile_slot[jnp.where(ok, (ctx * nt + cty) * nt + ctz,
-                                   nt ** 3)]
-        ok = ok & (slot < T)
-        rel = ci_sub - orig[jnp.minimum(slot, T - 1)] * f       # [N, 3]
-        idx = jnp.where(
-            ok, ((slot * Wf + rel[:, 0]) * Wf + rel[:, 1]) * Wf
-            + rel[:, 2], T * Wf ** 3)
-        g4t = g4t.at[idx].add(payload[:, :4], mode="drop")
+        return ok & (tile_slot[jnp.where(
+            ok, (ctx * nt + cty) * nt + ctz, nt ** 3)] < T)
+
+    on_edge = neigh_selected(*halo[0])
+    for combo in halo[1:]:
+        on_edge = on_edge | neigh_selected(*combo)
+    if src_mask is not None:
+        on_edge = on_edge & src_mask
+    b_cap = min(n, max(n // 4, 65536))
+    bidx = jnp.argsort(~on_edge)[:b_cap]
+    pay_b = jnp.where(on_edge[bidx][:, None], pay4[bidx], 0.0)
+    tx_b, ty_b, tz_b = tx[bidx], ty[bidx], tz[bidx]
+    sx_b, sy_b, sz_b = sx[bidx], sy[bidx], sz[bidx]
+    sub_b = ci_sub[bidx]
+    for cx, cy, cz in halo:
+        g4t = g4t.at[cand(cx, cy, cz, tx_b, ty_b, tz_b,
+                          sx_b, sy_b, sz_b, sub_b)].add(
+            pay_b, mode="drop")
     return g4t.reshape(T, Wf, Wf, Wf, 4)
 
 
@@ -1258,10 +1300,16 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                     if isinstance(grids[deep], tuple) else grids[deep])
         # NOTE: the tile path below must see the UN-folded local_deep —
         # its sub-level chain re-decomposes exactly what the fold covers.
-        wring = tuple(jnp.pad(g10_deep[..., i], rrd) for i in range(10))
-        local_agg = _fold_aggregate_ring3(
-            local_deep, wring, corner, size, 1 << deep, eps_sq, radius,
-            row0=jnp.int32(0), rows=1 << deep)
+        # At the 3D default R=2 the fold is a static no-op: skip the
+        # padded 10-channel window too (dead graph otherwise).
+        if rrd >= 2:
+            wring = tuple(jnp.pad(g10_deep[..., i], rrd)
+                          for i in range(10))
+            local_agg = _fold_aggregate_ring3(
+                local_deep, wring, corner, size, 1 << deep, eps_sq,
+                radius, row0=jnp.int32(0), rows=1 << deep)
+        else:
+            local_agg = local_deep
         far_deep = g_const * _l2p_eval3(local_agg, ci_f, pos, corner,
                                         size, deep)
         g4_pad = jnp.pad(g10_deep[..., :4],

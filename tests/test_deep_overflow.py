@@ -188,6 +188,17 @@ def test_deep3d_inert_and_bounded():
     a1 = np.asarray(b3._bh3_accelerations(posu, mass, deep_levels=6, **kw))
     assert np.allclose(a0, a1, rtol=1e-4, atol=1e-6)
 
+    # R=3 activates the deep aggregate-shell fold (a static no-op at the
+    # default R=2; r3 review found it untested) — same clustered scene
+    # must stay finite with background accuracy at least as good.
+    a3 = np.asarray(b3._bh3_accelerations(
+        pos, mass, levels=4, eps_sq=EPS_SQ, g_const=1.0, near_cap=16,
+        radius=3, deep_levels=6))
+    assert np.isfinite(a3).all()
+    rel3 = (np.linalg.norm(a3 - a_d, axis=1)
+            / (np.linalg.norm(a_d, axis=1) + 1e-12))
+    assert np.median(rel3[n // 2:]) < 3e-2
+
 
 def test_deep_rollout_stable():
     """Dynamic contract: a COLD-COLLAPSING clustered scene stepped with

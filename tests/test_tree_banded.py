@@ -456,6 +456,19 @@ def test_banded3_deep_chain_matches(eight_devices):
     assert np.abs(a_deep - a_flat).max() > 1e-3 * np.abs(a_deep).max()
 
 
+def test_banded3_deep_chain_radius3_fold(eight_devices):
+    """R=3 activates the 3D aggregate-shell fold (_fold_aggregate_ring3)
+    and its banded wring halo — both statically skipped at the default
+    R=2, so nothing else covers them (r3 review). Banded must match the
+    single-chip fold. P=2 keeps the R=3 V-list compile tractable on the
+    virtual mesh."""
+    pos, mass = _clustered(2048, dim=3, seed=6)
+    cfg = SimConfig(n=2048, dim=3, bh_levels=4, bh_deep_levels=6,
+                    bh_accept_radius=3, bh_tile_levels=0,
+                    force_backend="bh")
+    _check3(pos, mass, cfg, n_dev=2)
+
+
 def test_banded3_deep_chain_compact_window(eight_devices):
     """3D mirror of deep chain + compact window (r3): the blob slab falls
     back in-jit, the rest stay compact, under the deep path."""
