@@ -40,6 +40,7 @@ from nbodysim_tpu.physics.barneshut3d import (
     _m2l_level3,
     _m2l_stencil3,
     _moment_payload3,
+    _pool2x3,
     _resolve_deep_levels3,
     _resolve_levels3,
     _resolve_radius3,
@@ -155,44 +156,37 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
                     if (1 << l) % p_dev == 0 and (1 << l) // p_dev >= p]
     ls = min(shard_levels)         # contiguous {ls..build} by monotonicity
 
+    # Per-channel grids throughout (channel-last [.., 10] storage pads
+    # 12.8x under TPU tiling; see barneshut3d._synth_quad_tuple3): one
+    # fused [N, C] scatter, column-sliced per channel, strided pooling.
+    c_ch = 4 if deep else 10
+    gflat = (jnp.zeros((rb_b * res_b * res_b, c_ch), pos.dtype)
+             .at[bflat].add(_moment_payload3(bulk_pos, tree_mass)[:, :c_ch],
+                            mode="drop"))
+    chans = tuple(gflat[:, i].reshape(rb_b, res_b, res_b)
+                  for i in range(c_ch))
     if deep:
         # Deep-mode build: 4-channel scatter + synthesized quadrupoles
         # (matches barneshut3d._build_pyramid3(synth_quad)).
-        from nbodysim_tpu.physics.barneshut3d import _synth_quad_channels3
+        from nbodysim_tpu.physics.barneshut3d import _synth_quad_tuple3
 
-        g4 = (jnp.zeros((rb_b * res_b * res_b, 4), pos.dtype)
-              .at[bflat].add(_moment_payload3(bulk_pos, tree_mass)[:, :4],
-                             mode="drop")
-              .reshape(rb_b, res_b, res_b, 4))
-        g10 = _synth_quad_channels3(g4)
-    else:
-        g10 = (jnp.zeros((rb_b * res_b * res_b, 10), pos.dtype)
-               .at[bflat].add(_moment_payload3(bulk_pos, tree_mass),
-                              mode="drop")
-               .reshape(rb_b, res_b, res_b, 10))
-    band_grids = {build_levels: tuple(g10[..., i] for i in range(10))}
+        chans = _synth_quad_tuple3(chans)
+    band_grids = {build_levels: chans}
     for l in range(build_levels - 1, ls - 1, -1):
-        r_l = 1 << l
-        rb_l = r_l // p_dev
-        band_grids[l] = tuple(
-            g.reshape(rb_l, 2, r_l, 2, r_l, 2).sum((1, 3, 5))
-            for g in band_grids[l + 1])
+        band_grids[l] = tuple(_pool2x3(g) for g in band_grids[l + 1])
 
     full_grids = {}
     if ls > 2:
         full = tuple(lax.all_gather(g, axis_name, tiled=True)
                      for g in band_grids[ls])          # [2^ls, 2^ls, 2^ls]
         for l in range(ls - 1, 1, -1):
-            r_l = 1 << l
-            full = tuple(g.reshape(r_l, 2, r_l, 2, r_l, 2).sum((1, 3, 5))
-                         for g in full)
+            full = tuple(_pool2x3(g) for g in full)
             full_grids[l] = full
 
     # ---------------- downward pass: M2L + L2L --------------------------
     local = None
     for l in range(2, ls):                       # replicated coarse levels
-        terms = _m2l_level3(jnp.stack(full_grids[l], axis=-1),
-                            corner, size, eps_sq, radius)
+        terms = _m2l_level3(full_grids[l], corner, size, eps_sq, radius)
         if local is None:
             local = terms
         else:
@@ -210,10 +204,10 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
             # _m2l_level3, so banded == single-chip to roundoff): strip
             # the y/z halo, keep 2(R-1) of the p x-halo slabs.
             qh = radius - 1
-            gx = jnp.stack(
-                [w[p - 2 * qh: p + rb_l + 2 * qh, p: p + r_l, p: p + r_l]
-                 for w in window], axis=-1)
-            terms = _m2l_conv3(gx, corner, size, r_l, eps_sq, radius,
+            gxt = tuple(
+                w[p - 2 * qh: p + rb_l + 2 * qh, p: p + r_l, p: p + r_l]
+                for w in window)
+            terms = _m2l_conv3(gxt, corner, size, r_l, eps_sq, radius,
                                row0=row0_l, rows=rb_l)
         else:
             terms = _m2l_stencil3(window, corner, size, r_l, eps_sq,
@@ -532,14 +526,19 @@ def _banded_eval3(pos, mass, pos_l, *, levels, radius, eps_sq, g_const,
             ww = tt + 2 * hh
             tid, tile_slot, orig = _tile_select3(
                 ci_f, b_par, build_levels, tt, tc, radius)
-            locb = jnp.stack(local_deep, axis=-1)  # [rb_b, res_b^2, 19]
-            locbp = jnp.pad(locb, ((ww, ww), (hh, hh), (hh, hh), (0, 0)))
+            # Per-channel pad + slice (see barneshut3d._tile_refine3: a
+            # stacked [rb_b, res_b, res_b, 19] band pads 6.7x under TPU
+            # tiling; only the [ww, ww, ww] windows get stacked).
+            locbp = tuple(
+                jnp.pad(g, ((ww, ww), (hh, hh), (hh, hh)))
+                for g in local_deep)
 
             def slice_band(o):
                 st = jnp.clip(o[0] - row0_b + ww, 0, rb_b + ww)
-                return lax.dynamic_slice(
-                    locbp, (st, o[1] + hh, o[2] + hh, 0),
-                    (ww, ww, ww, 19))
+                return jnp.stack(
+                    [lax.dynamic_slice(g, (st, o[1] + hh, o[2] + hh),
+                                       (ww, ww, ww)) for g in locbp],
+                    axis=-1)
 
             local_w = lax.psum(jax.vmap(slice_band)(orig), axis_name)
 

@@ -83,7 +83,8 @@ def _moment_payload3(pos, mass):
 
 def _synth_quad_channels3(g4):
     """(m, sx, sy, sz) -> 10 raw-moment channels with point-at-COM
-    quadrupoles (see barneshut._synth_quad_channels)."""
+    quadrupoles (see barneshut._synth_quad_channels). Stacked form, used
+    by the small per-tile grids ([T, w, w, w, 4])."""
     m, sx, sy, sz = (g4[..., i] for i in range(4))
     inv = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
     return jnp.stack(
@@ -91,28 +92,52 @@ def _synth_quad_channels3(g4):
          sy * sy * inv, sy * sz * inv, sz * sz * inv), axis=-1)
 
 
+def _synth_quad_tuple3(g4t):
+    """Per-channel form of `_synth_quad_channels3`: tuple of 4 grids in,
+    tuple of 10 out. The full-resolution pyramid stores channels as
+    SEPARATE arrays — a channel-last [r, r, r, 10] tiles its 10-wide minor
+    dim to 128 lanes (12.8x HBM) and its pooling reshapes to 128x padded
+    temps under remat; at the 256^3 deep grid that alone OOMed the r3
+    compile (measured: 65 GB HLO temp, 2.2% utilization)."""
+    m, sx, sy, sz = g4t
+    inv = jnp.where(m > 0, 1.0 / jnp.where(m > 0, m, 1.0), 0.0)
+    return (m, sx, sy, sz, sx * sx * inv, sx * sy * inv, sx * sz * inv,
+            sy * sy * inv, sy * sz * inv, sz * sz * inv)
+
+
+def _pool2x3(a):
+    """2x downsample-sum of a [X, Y, Z] grid by per-axis strided slice
+    adds. Layout-safe: the one-shot reshape(r,2,r,2,r,2).sum((1,3,5))
+    creates [.., 2]-minor temps that TPU tiling pads 64-128x when remat
+    materializes them (the r3 256^3 compile OOM); every temp here keeps a
+    full-size lane dimension."""
+    a = a[0::2] + a[1::2]
+    a = a[:, 0::2] + a[:, 1::2]
+    return a[:, :, 0::2] + a[:, :, 1::2]
+
+
 def _build_pyramid3(pos, mass, levels: int, synth_quad: bool = False):
-    """Moment grids for levels L..0 (fine to coarse), each a [r, r, r, 10]
-    array. One fused scatter at the finest level, stacked pooling above.
-    synth_quad: 4-channel scatter + point-at-COM quadrupole synthesis at
-    the finest level (deep mode; see barneshut._build_pyramid)."""
+    """Moment grids for levels L..0 (fine to coarse), each a TUPLE of 10
+    per-channel [r, r, r] arrays (channel-last storage pads 12.8x under
+    TPU tiling — see `_synth_quad_tuple3`). One fused [N, C] scatter at
+    the finest level, column-sliced per channel; per-channel strided
+    pooling above. synth_quad: 4-channel scatter + point-at-COM
+    quadrupole synthesis at the finest level (deep mode; see
+    barneshut._build_pyramid)."""
     corner, size = _bounding_cube(pos)
     res = 1 << levels
     u = (pos - corner) / size
     ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)     # [N, 3]
     flat = (ci[:, 0] * res + ci[:, 1]) * res + ci[:, 2]
 
-    if synth_quad:
-        g4 = jnp.zeros((res ** 3, 4), pos.dtype).at[flat].add(
-            _moment_payload3(pos, mass)[:, :4]).reshape(res, res, res, 4)
-        g = _synth_quad_channels3(g4)
-    else:
-        g = jnp.zeros((res * res * res, 10), pos.dtype).at[flat].add(
-            _moment_payload3(pos, mass)).reshape(res, res, res, 10)
+    c = 4 if synth_quad else 10
+    gflat = jnp.zeros((res ** 3, c), pos.dtype).at[flat].add(
+        _moment_payload3(pos, mass)[:, :c])
+    chans = tuple(gflat[:, i].reshape(res, res, res) for i in range(c))
+    g = _synth_quad_tuple3(chans) if synth_quad else chans
     grids = {levels: g}
     for l in range(levels - 1, -1, -1):
-        r = 1 << l
-        g = g.reshape(r, 2, r, 2, r, 2, 10).sum((1, 3, 5))
+        g = tuple(_pool2x3(a) for a in g)
         grids[l] = g
     return grids, corner, size, ci, flat
 
@@ -120,17 +145,22 @@ def _build_pyramid3(pos, mass, levels: int, synth_quad: bool = False):
 def _m2l_level3(g10, corner, size, eps_sq, radius: int):
     """V-list pass at one full level -> p=2 local terms (19 x [r,r,r]).
 
-    Even grids (every real level: r = 2^l) run as the parent-level MXU
-    contraction (`_m2l_conv3`); the scan stencil remains as the oracle
-    and odd-size fallback."""
-    r_full = g10.shape[0]
+    g10: tuple of 10 per-channel [r, r, r] grids (the pyramid's native
+    form) or a stacked [r, r, r, 10] array (the small vmapped tile
+    grids). Even grids (every real level: r = 2^l) run as the
+    parent-level MXU contraction (`_m2l_conv3`); the scan stencil remains
+    as the oracle and odd-size fallback."""
+    if not isinstance(g10, tuple):
+        g10 = tuple(g10[..., i] for i in range(10))
+    r_full = g10[0].shape[0]
     if r_full % 2 == 0 and r_full >= 2:
         qh = radius - 1
-        gx = jnp.pad(g10, ((2 * qh, 2 * qh), (0, 0), (0, 0), (0, 0)))
-        return _m2l_conv3(gx, corner, size, r_full, eps_sq, radius,
+        gxt = tuple(jnp.pad(g, ((2 * qh, 2 * qh), (0, 0), (0, 0)))
+                    for g in g10)
+        return _m2l_conv3(gxt, corner, size, r_full, eps_sq, radius,
                           row0=jnp.int32(0), rows=r_full)
     p = 2 * radius - 1
-    window = tuple(jnp.pad(g10[..., i], p) for i in range(10))
+    window = tuple(jnp.pad(g, p) for g in g10)
     return _m2l_stencil3(window, corner, size, r_full, eps_sq, radius,
                          row0=jnp.int32(0), rows=r_full)
 
@@ -445,59 +475,64 @@ def _m2l_conv_weights3(radius: int, r_parent: int, eps_sq_hat, dtype):
     return jnp.zeros((k3, 80, 152), dtype).at[pb, ci, ti].set(B)
 
 
-def _center_channels3(g10, corner, size, r_full: int, x0):
-    """Raw origin moments [X, r, r, 10] -> moments about each cell's own
-    center in CELL UNITS: (m, d_i / s_l, Q_ij / s_l^2), matching the
-    scale-free weights. x0 = global x index of row 0 (traced in the banded
-    path)."""
-    dtype = g10.dtype
+def _center_channels3(g10t, corner, size, r_full: int, x0):
+    """Raw origin moments (tuple of 10 [X, r, r] grids) -> moments about
+    each cell's own center in CELL UNITS: (m, d_i / s_l, Q_ij / s_l^2),
+    matching the scale-free weights, as a tuple again (per-channel storage
+    — see `_synth_quad_tuple3`). x0 = global x index of row 0 (traced in
+    the banded path)."""
+    dtype = g10t[0].dtype
     s_l = size / r_full
     inv_s = 1.0 / s_l
-    shape = g10.shape[:3]
+    shape = g10t[0].shape
     cx = corner[0] + (lax.broadcasted_iota(jnp.int32, shape, 0) + x0
                       ).astype(dtype) * s_l + 0.5 * s_l
     cy = corner[1] + (lax.broadcasted_iota(jnp.int32, shape, 1)
                       ).astype(dtype) * s_l + 0.5 * s_l
     cz = corner[2] + (lax.broadcasted_iota(jnp.int32, shape, 2)
                       ).astype(dtype) * s_l + 0.5 * s_l
-    m = g10[..., 0]
-    sx, sy, sz = g10[..., 1], g10[..., 2], g10[..., 3]
+    m = g10t[0]
+    sx, sy, sz = g10t[1], g10t[2], g10t[3]
     inv2 = inv_s * inv_s
-    return jnp.stack(
-        (m,
-         (sx - m * cx) * inv_s,
-         (sy - m * cy) * inv_s,
-         (sz - m * cz) * inv_s,
-         (g10[..., 4] - 2.0 * cx * sx + m * cx * cx) * inv2,
-         (g10[..., 5] - cx * sy - cy * sx + m * cx * cy) * inv2,
-         (g10[..., 6] - cx * sz - cz * sx + m * cx * cz) * inv2,
-         (g10[..., 7] - 2.0 * cy * sy + m * cy * cy) * inv2,
-         (g10[..., 8] - cy * sz - cz * sy + m * cy * cz) * inv2,
-         (g10[..., 9] - 2.0 * cz * sz + m * cz * cz) * inv2), axis=-1)
+    return (m,
+            (sx - m * cx) * inv_s,
+            (sy - m * cy) * inv_s,
+            (sz - m * cz) * inv_s,
+            (g10t[4] - 2.0 * cx * sx + m * cx * cx) * inv2,
+            (g10t[5] - cx * sy - cy * sx + m * cx * cy) * inv2,
+            (g10t[6] - cx * sz - cz * sx + m * cx * cz) * inv2,
+            (g10t[7] - 2.0 * cy * sy + m * cy * cy) * inv2,
+            (g10t[8] - cy * sz - cz * sy + m * cy * cz) * inv2,
+            (g10t[9] - 2.0 * cz * sz + m * cz * cz) * inv2)
 
 
-def _m2l_conv3(gx, corner, size, r_full: int, eps_sq, radius: int,
+def _m2l_conv3(gxt, corner, size, r_full: int, eps_sq, radius: int,
                row0, rows: int, r_parent: int | None = None):
     """One level of M2L as the parent-level MXU contraction.
 
-    gx: [rows + 4(Rp-1), r_full, r_full, 10] raw moment x-window whose
-    first and last 2(Rp-1) slabs are halo (zeros beyond the global grid);
-    its row 0 is global x index row0 - 2(Rp-1). row0 and rows must be
-    even. r_parent (default radius) is the parent level's acceptance
-    radius — see _m2l_conv_taps. Returns the 19 local terms,
-    [rows, r_full, r_full] each."""
+    gxt: tuple of 10 per-channel [rows + 4(Rp-1), r_full, r_full] raw
+    moment x-windows whose first and last 2(Rp-1) slabs are halo (zeros
+    beyond the global grid); row 0 is global x index row0 - 2(Rp-1). row0
+    and rows must be even. r_parent (default radius) is the parent
+    level's acceptance radius — see _m2l_conv_taps. Returns the 19 local
+    terms, [rows, r_full, r_full] each."""
     R = radius
     Rp = radius if r_parent is None else r_parent
     qh = Rp - 1
     h = r_full // 2
     hb = rows // 2
-    dtype = gx.dtype
+    dtype = gxt[0].dtype
 
-    ch = _center_channels3(gx, corner, size, r_full, row0 - 2 * qh)
-    X = rows + 4 * qh
-    m8 = (ch.reshape(X // 2, 2, h, 2, h, 2, 10)
-          .transpose(0, 2, 4, 1, 3, 5, 6)
-          .reshape(X // 2, h, h, 80))
+    ch = _center_channels3(gxt, corner, size, r_full, row0 - 2 * qh)
+    # Space-to-depth via per-channel parity slices + ONE stack straight to
+    # the 80-lane form (the former [X/2, 2, h, 2, h, 2, 10] reshape/
+    # transpose materializes at 51x tile padding under remat — the r3
+    # 256^3 compile OOM). Lane order (4a+2b+d)*10 + c matches
+    # _m2l_conv_taps' child enumeration.
+    m8 = jnp.stack(
+        [ch[c][a::2, b::2, d::2]
+         for a in (0, 1) for b in (0, 1) for d in (0, 1)
+         for c in range(10)], axis=-1)                 # [X/2, h, h, 80]
     m8 = jnp.pad(m8, ((0, 0), (qh, qh), (qh, qh), (0, 0)))
     s_l = size / r_full
     W = _m2l_conv_weights3(R, Rp, eps_sq / (s_l * s_l), dtype)
@@ -1168,13 +1203,17 @@ def _tile_refine3(pos, payload, bulk_pos, ci_f, b_par, local_deep,
     H = radius
     tid, tile_slot, orig = _tile_select3(ci_f, b_par, deep, t, T, radius)
 
-    locD = jnp.stack(local_deep, axis=-1)               # [rD, rD, rD, 19]
-    locDp = jnp.pad(locD, ((H, H), (H, H), (H, H), (0, 0)))
+    # Per-channel pad + slice: stacking local_deep to [rD, rD, rD, 19]
+    # first would materialize a 19-lane channel-last grid (6.7x tile
+    # padding — 8.5 GB at the 256^3 deep level); only the small [W,W,W]
+    # tile windows get stacked.
+    W = t + 2 * H
+    locp = tuple(jnp.pad(g, H) for g in local_deep)
 
     def slice_tile(o):
-        return lax.dynamic_slice(
-            locDp, (o[0] + H, o[1] + H, o[2] + H, 0),
-            (t + 2 * H, t + 2 * H, t + 2 * H, 19))
+        return jnp.stack(
+            [lax.dynamic_slice(g, (o[0] + H, o[1] + H, o[2] + H),
+                               (W, W, W)) for g in locp], axis=-1)
 
     local_w = jax.vmap(slice_tile)(orig)                # [T, W, W, W, 19]
     return _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
@@ -1296,15 +1335,12 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
         payload = _moment_payload3(pos, tree_mass)
         rrd = radius - 1
         rin = min(rrd, 1)   # inner aggregate window; ring folds into L2P
-        g10_deep = (jnp.stack(grids[deep], axis=-1)
-                    if isinstance(grids[deep], tuple) else grids[deep])
         # NOTE: the tile path below must see the UN-folded local_deep —
         # its sub-level chain re-decomposes exactly what the fold covers.
         # At the 3D default R=2 the fold is a static no-op: skip the
         # padded 10-channel window too (dead graph otherwise).
         if rrd >= 2:
-            wring = tuple(jnp.pad(g10_deep[..., i], rrd)
-                          for i in range(10))
+            wring = tuple(jnp.pad(g, rrd) for g in grids[deep])
             local_agg = _fold_aggregate_ring3(
                 local_deep, wring, corner, size, 1 << deep, eps_sq,
                 radius, row0=jnp.int32(0), rows=1 << deep)
@@ -1312,8 +1348,11 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
             local_agg = local_deep
         far_deep = g_const * _l2p_eval3(local_agg, ci_f, pos, corner,
                                         size, deep)
-        g4_pad = jnp.pad(g10_deep[..., :4],
-                         ((rin, rin), (rin, rin), (rin, rin), (0, 0)))
+        # Stack only the 4 aggregate channels, padded, channel-last: the
+        # row-gather consumer (`_aggregate_window_eval3`) wants [M, 4]
+        # rows, which XLA lays out flat-minor (measured fine in 2D).
+        g4_pad = jnp.stack([jnp.pad(grids[deep][i], rin)
+                            for i in range(4)], axis=-1)
         deep_near = g_const * _deep_near_aggregates3(
             pos, payload[:, :4], g4_pad, ci_f, eps_sq,
             size / (1 << deep), rr=rin)

@@ -35,11 +35,11 @@ def test_pyramid3_mass_conservation():
     total = float(jnp.sum(mass))
     for l in range(5):
         np.testing.assert_allclose(
-            float(jnp.sum(grids[l][..., 0])), total, rtol=1e-5)
-    # COM of root cell = global COM.
+            float(jnp.sum(grids[l][0])), total, rtol=1e-5)
+    # COM of root cell = global COM (grids are per-channel tuples).
     g0 = grids[0]
-    m0 = float(g0[0, 0, 0, 0])
-    com = np.array([float(g0[0, 0, 0, 1 + a]) / m0 for a in range(3)])
+    m0 = float(g0[0][0, 0, 0])
+    com = np.array([float(g0[1 + a][0, 0, 0]) / m0 for a in range(3)])
     expected = np.asarray(
         jnp.sum(mass[:, None] * pos, axis=0) / jnp.sum(mass))
     np.testing.assert_allclose(com, expected, rtol=1e-4)
