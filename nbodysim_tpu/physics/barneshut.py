@@ -407,22 +407,15 @@ def _m2l_conv(gx, corner, size, r_full: int, eps_sq, radius: int,
     W = _m2l_conv_weights(R, Rp, eps_sq / (s_l * s_l), dtype)
 
     k = 2 * Rp - 1
-    po = jnp.asarray([(a, b) for a in range(k) for b in range(k)],
-                     jnp.int32)
-
-    def body(acc, args):
-        o, wk = args
-        sl = lax.dynamic_slice(m4, (o[0], o[1], 0), (hb, h, 24))
-        return acc + lax.dot_general(
-            sl.reshape(-1, 24), wk, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST), None
-
-    # Carry seeded FROM the input so its varying-manual-axes type matches
-    # the body output under shard_map (a plain jnp.zeros carry is
-    # unvarying and trips the scan carry typecheck when m4 is
-    # device-varying, e.g. on the replicated multi-chip fallback).
-    out0 = jnp.zeros((hb * h, 36), dtype) + 0.0 * m4[0, 0, 0]
-    out, _ = lax.scan(body, out0, (po, W))
+    # One k x k VALID convolution instead of a scan of k^2 shifted
+    # dot_generals: the scan re-reads the full parent-level window from
+    # HBM per tap (bandwidth-bound at the 4096^2 deep level — measured
+    # 0.265 s/eval scan vs 0.228 s conv at r=4096, R=3, HIGHEST; err
+    # 8e-7, scripts/exp_m2l_conv.py).
+    out = lax.conv_general_dilated(
+        m4[None], W.reshape(k, k, 24, 36), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=lax.Precision.HIGHEST)[0].reshape(hb * h, 36)
     inv_s = 1.0 / s_l
     s2 = inv_s * inv_s
     scales = (s2, s2, s2 * inv_s, s2 * inv_s, s2 * inv_s,

@@ -538,23 +538,14 @@ def _m2l_conv3(gxt, corner, size, r_full: int, eps_sq, radius: int,
     W = _m2l_conv_weights3(R, Rp, eps_sq / (s_l * s_l), dtype)
 
     k = 2 * Rp - 1
-    po = jnp.asarray(
-        [(a, b, c) for a in range(k) for b in range(k) for c in range(k)],
-        jnp.int32)
-
-    def body(acc, args):
-        o, wk = args
-        sl = lax.dynamic_slice(m8, (o[0], o[1], o[2], 0), (hb, h, h, 80))
-        return acc + lax.dot_general(
-            sl.reshape(-1, 80), wk, (((1,), (0,)), ((), ())),
-            precision=lax.Precision.HIGHEST), None
-
-    # Carry seeded FROM the input so its varying-manual-axes type matches
-    # the body output under shard_map (see the 2D _m2l_conv note — a
-    # plain jnp.zeros carry trips the scan carry typecheck when m8 is
-    # device-varying).
-    out0 = jnp.zeros((hb * h * h, 152), dtype) + 0.0 * m8[0, 0, 0, 0]
-    out, _ = lax.scan(body, out0, (po, W))
+    # One k^3 VALID convolution instead of a scan of k^3 shifted
+    # dot_generals — the scan re-reads the full parent-level window from
+    # HBM per tap (see the 2D _m2l_conv note; measured 14% faster at
+    # 4096^2, scripts/exp_m2l_conv.py).
+    out = lax.conv_general_dilated(
+        m8[None], W.reshape(k, k, k, 80, 152), window_strides=(1, 1, 1),
+        padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        precision=lax.Precision.HIGHEST)[0].reshape(hb * h * h, 152)
     # back to physical units: F, J, H scale as s_l^-(2, 3, 4).
     inv_s = 1.0 / s_l
     s2 = inv_s * inv_s

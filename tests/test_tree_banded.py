@@ -262,11 +262,15 @@ def test_banded_per_device_flops_deep_config(eight_devices):
     """Same compiled-FLOP scaling model for the FLAGSHIP path: deep
     chain + tile refinement on a clustered scene (r3 — after banding the
     deep/tile per-particle stages). Measured at N=131k, L=7, deep=9,
-    tiles k=3/t=16: single 1.19e9; P=2/4/8 = 9.57/7.62/6.65e8 — the 1/P
-    fit predicts P=4 within 0.1%, with the scaling component 65% of the
-    single-chip program. The fixed floor (48%) is dominated by the
-    STATIC double-count of each compact/full fallback lax.cond (cost
-    analysis sums both branches; at runtime one executes)."""
+    tiles k=3/t=16 with the conv-form M2L (whose k^2 taps the cost
+    analysis counts in full, unlike the former scan body — flops_1 grew
+    6.8x from the accounting change alone): single 8.10e9; the 1/P fit
+    predicts P=4 within 0.1%, scaling component 53% of the single-chip
+    program. The fixed floor is the STATIC double-count of each
+    compact/full fallback lax.cond (cost analysis sums both branches; at
+    runtime one executes) plus the per-level M2L halo rows, a
+    constant-per-device cost that is 12.5% of a band at this toy scale
+    (8 halo rows on 64) but 1.5% at the 4096-row flagship scale."""
     n = 1 << 17
     k1, k2 = jax.random.split(jax.random.PRNGKey(21))
     pos = jax.random.uniform(k1, (n, 2), jnp.float32, -1000.0, 1000.0)
@@ -295,7 +299,7 @@ def test_banded_per_device_flops_deep_config(eight_devices):
     s = (f2 - f8) / (1 / 2 - 1 / 8)
     fixed = f2 - s / 2
     assert abs(fixed + s / 4 - f4) < 0.1 * f4, (fixed, s, f4)
-    assert s > 0.55 * flops_1, (s, flops_1)
+    assert s > 0.5 * flops_1, (s, flops_1)
     assert fixed < 0.55 * flops_1, (fixed, flops_1)
 
 
