@@ -203,6 +203,7 @@ def main():
         ("B conv HIGHEST", make_conv_variant(lax.Precision.HIGHEST)),
         ("C conv HIGH", make_conv_variant(lax.Precision.HIGH)),
         ("D scan HIGH", make_scan_variant(lax.Precision.HIGH)),
+        ("E conv DEFAULT (bf16x1)", make_conv_variant(lax.Precision.DEFAULT)),
     ]
     for name, f in variants[1:]:
         check(name, f)
