@@ -135,15 +135,18 @@ def _bench_baseline_config(idx: int) -> dict:
             1 << 22, reps=3, scene="galaxy_merger", force_backend="bh",
             bh_deep_levels=-1,
             integrator="leapfrog_kdk", enable_collisions=False, dt=0.05)
-        out = measure_step_throughput(
-            1 << 22, reps=3, scene="galaxy_merger", force_backend="bh",
-            bh_deep_levels=-1,
-            integrator="leapfrog_kdk", enable_collisions=True, dt=0.05)
+        # Print the forces-only line BEFORE compiling the collisions-on
+        # rollout: the 4M collision graph once crashed the TPU worker
+        # mid-compile (r3), which would otherwise lose this result too.
         print(json.dumps({
             "metric": "config5 galaxy-merger steps/s at N=4M "
                       "(BH, forces only, 1 chip)",
             "value": out_nc["steps_per_second"], "unit": "steps/s",
-            "vs_baseline": None}))
+            "vs_baseline": None}), flush=True)
+        out = measure_step_throughput(
+            1 << 22, reps=3, scene="galaxy_merger", force_backend="bh",
+            bh_deep_levels=-1,
+            integrator="leapfrog_kdk", enable_collisions=True, dt=0.05)
         return {"metric": "config5 galaxy-merger steps/s at N=4M "
                           "(BH + collisions, 1 chip)",
                 "value": out["steps_per_second"], "unit": "steps/s",
