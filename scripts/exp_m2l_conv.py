@@ -9,6 +9,7 @@ the stage is bandwidth-bound, not FLOP-bound. Candidates:
   B. one lax.conv_general_dilated NHWC, k x k kernel, HIGHEST (read once)
   C. conv as B but precision HIGH (bf16x3 ~ f32 accuracy)
   D. scan-of-dots as A but precision HIGH
+  E. conv as B but precision DEFAULT (bf16 inputs)
 
 Each variant is timed as a chained-scan dispatch (tunnel-safe) and checked
 against A for max relative error on the 9 local terms.
