@@ -11,9 +11,12 @@ ring via `lax.ppermute` over ICI. P-1 hops move N*D*4 bytes each; compute
 ppermute DMA asynchronously with the force kernel.
 
 Collisions need cross-shard pairs too; they are short-range, so the ring is
-overkill — each device all-gathers the (small: N*(2D+2)*4 bytes) particle
-arrays and resolves only its local targets' collisions, keeping the
-O(N^2/P) narrow-phase cost sharded.
+overkill. Below DENSE_THRESHOLD each device all-gathers the (small) particle
+arrays and resolves its local targets' collisions (O(N^2/P) per device); at
+large N the broad phase itself is banded across the mesh — grid-row bands
+for the 2D bucket grid, sorted-chunk bands for the spatial hash — in
+`parallel/collisions.py` (the same decomposition parallel/tree.py gives the
+FMM).
 
 Everything runs under one `shard_map`-wrapped jit: forces, integration, and
 collisions execute per-shard with explicit collectives, from 1 chip to a
@@ -183,36 +186,12 @@ def ring_accelerations(
 def _gathered_collision_pass(
     pos_l, vel_l, mass_l, radius_l, config: SimConfig, axis_name: str
 ):
-    """Jacobi collision deltas for local targets against all-gathered
-    sources (dense masked test; short-range so most pairs reject)."""
-    from nbodysim_tpu.core.blocking import pairwise_blocked
+    """Back-compat alias: the dense gathered pass now lives in
+    parallel/collisions.py next to the banded large-N broad phases."""
+    from nbodysim_tpu.parallel.collisions import gathered_dense_deltas
 
-    pos_g = lax.all_gather(pos_l, axis_name, tiled=True)       # [N, D]
-    vel_g = lax.all_gather(vel_l, axis_name, tiled=True)
-    mass_g = lax.all_gather(mass_l, axis_name, tiled=True)
-    radius_g = lax.all_gather(radius_l, axis_name, tiled=True)
-
-    dim = pos_l.shape[1]
-
-    def kernel(tgt, src):
-        tp, tv, tm, tr = tgt
-        sp, sv, sm, sr = src
-        d = sp[None, :, :] - tp[:, None, :]
-        v = sv[None, :, :] - tv[:, None, :]
-        msum = tm[:, None] + sm[None, :]
-        w1 = sm[None, :] / jnp.where(msum > 0, msum, 1.0)
-        r = tr[:, None] + sr[None, :]
-        # Self-pairs (d = v = 0) are no-ops in the pair math; zero-padded
-        # sources carry mass 0 and are inert.
-        valid = sm[None, :] > 0
-        dpos, dvel = _pair_deltas(
-            d, v, w1, r, valid, config.collision_impulse)
-        return jnp.sum(dpos, axis=1), jnp.sum(dvel, axis=1)
-
-    return pairwise_blocked(
-        kernel, (pos_l, vel_l, mass_l, radius_l),
-        (pos_g, vel_g, mass_g, radius_g),
-        out_dims=((dim,), (dim,)), dtype=pos_l.dtype)
+    return gathered_dense_deltas(
+        pos_l, vel_l, mass_l, radius_l, config, axis_name)
 
 
 def prime_accelerations_sharded(
@@ -281,8 +260,11 @@ def make_sharded_step(
             pos_new = pos_new + vel_new * dt
 
         if config.enable_collisions:
+            from nbodysim_tpu.parallel.collisions import (
+                sharded_collision_deltas)
+
             for _ in range(max(1, config.collision_iterations)):
-                dpos, dvel = _gathered_collision_pass(
+                dpos, dvel = sharded_collision_deltas(
                     pos_new, vel_new, mass, radius, config, axis
                 )
                 pos_new = pos_new + dpos

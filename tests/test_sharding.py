@@ -99,3 +99,73 @@ def test_sharded_bh_backend(eight_devices):
     scale = float(jnp.abs(out_1.pos).max())
     np.testing.assert_allclose(
         np.asarray(out_s.pos), np.asarray(out_1.pos), atol=scale * 1e-6)
+
+
+def test_sharded_checkpoint_resume_bitwise(eight_devices, tmp_path):
+    """Multi-chip checkpoint/resume (VERDICT r3 #8): save a SHARDED state
+    (the np.asarray in save_checkpoint gathers across the mesh), restore,
+    re-shard over the same 8-device mesh, and resume — the resumed
+    trajectory must be BITWISE identical to the uninterrupted sharded run
+    (the single-host guarantee, held across the mesh)."""
+    from nbodysim_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from nbodysim_tpu.parallel import prime_accelerations_sharded
+
+    cfg = nb.SimConfig(n=256, force_backend="xla",
+                       integrator="leapfrog_kdk")
+    mesh = make_mesh(8)
+    state = nb.init_scene("uniform_disc", cfg)
+    ss = prime_accelerations_sharded(shard_state(state, mesh), cfg, mesh)
+    step = make_sharded_step(cfg, mesh)
+    for _ in range(3):
+        ss = step(ss)
+
+    path = save_checkpoint(str(tmp_path / "ck"), ss, cfg)
+
+    # Uninterrupted continuation.
+    ref = ss
+    for _ in range(3):
+        ref = step(ref)
+
+    # Restore -> reshard -> resume with a freshly built step.
+    loaded, cfg2 = load_checkpoint(path)
+    assert cfg2 is not None and cfg2.n == cfg.n
+    rs = shard_state(loaded, mesh)
+    step2 = make_sharded_step(cfg2, mesh)
+    out = rs
+    for _ in range(3):
+        out = step2(out)
+
+    assert int(out.frame) == int(ref.frame)
+    for f in ("pos", "vel", "acc", "mass", "radius"):
+        a, b = np.asarray(getattr(out, f)), np.asarray(getattr(ref, f))
+        assert np.array_equal(a, b), f"{f} not bitwise equal after resume"
+
+
+def test_sharded_checkpoint_reshard_other_mesh(eight_devices, tmp_path):
+    """A checkpoint written under one mesh restores onto a DIFFERENT mesh
+    size: the state itself is mesh-independent; only collective summation
+    order differs, so the resumed physics matches to roundoff."""
+    from nbodysim_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from nbodysim_tpu.parallel import prime_accelerations_sharded
+
+    cfg = nb.SimConfig(n=256, force_backend="xla",
+                       integrator="leapfrog_kdk")
+    mesh8 = make_mesh(8)
+    state = nb.init_scene("uniform_disc", cfg)
+    ss = prime_accelerations_sharded(shard_state(state, mesh8), cfg, mesh8)
+    ss = make_sharded_step(cfg, mesh8)(ss)
+    path = save_checkpoint(str(tmp_path / "ck8"), ss, cfg)
+
+    ref = make_sharded_step(cfg, mesh8)(ss)
+
+    loaded, cfg2 = load_checkpoint(path)
+    mesh2 = make_mesh(2)
+    out = make_sharded_step(cfg2, mesh2)(shard_state(loaded, mesh2))
+
+    assert int(out.frame) == int(ref.frame)
+    scale = np.abs(np.asarray(ref.pos)).max()
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(ref.pos),
+                               atol=2e-6 * scale)
+    vscale = max(np.abs(np.asarray(ref.vel)).max(), 1e-12)
+    np.testing.assert_allclose(np.asarray(out.vel), np.asarray(ref.vel),
+                               atol=2e-5 * vscale)
