@@ -22,6 +22,19 @@ from nbodysim_tpu.physics.integrators import (
     prime_accelerations,
 )
 
+# Reference dt slider range (main.cpp:865-893): the raygui slider spans
+# [0.001, 0.1] and turns red at the max — values outside are unreachable
+# from the reference UI. Runtime dt channels (viewer T/Y keys, CLI
+# --control) clamp into this range and surface the clamp to the user.
+DT_MIN = 0.001
+DT_MAX = 0.1
+
+
+def clamp_dt(dt: float) -> Tuple[float, bool]:
+    """Clamp dt into the reference slider range; returns (dt, was_clamped)."""
+    clamped = min(max(dt, DT_MIN), DT_MAX)
+    return clamped, clamped != dt
+
 
 class Simulation:
     """Stateful convenience wrapper (reference: Simulation.hpp:49-75).
@@ -40,6 +53,9 @@ class Simulation:
         **scene_kwargs,
     ):
         self.config = config or SimConfig()
+        # Remember which choices the user left on auto: the mid-run
+        # re-resolve (re_resolve_auto) may only adapt those.
+        self._auto_force = self.config.force_backend == "auto"
         if state is None:
             from nbodysim_tpu.scenes import init_scene
 
@@ -68,6 +84,50 @@ class Simulation:
         self._step = make_step(self.config)
         self._rollouts: dict[int, Callable] = {}
         self.check_capacity()
+
+    def re_resolve_auto(self, when: str = "mid-run") -> bool:
+        """Re-run the init-time auto distribution probes on the CURRENT
+        state and adopt any coverage-ENABLING change (VERDICT r3 #6: a
+        10k-step merger migrates mass, so the init-time pin can go stale;
+        the CLI run loop calls this whenever the periodic capacity check
+        trips). Escalation is monotonic — deep-overflow chain ON, bucket
+        grid -> sorted hash — never a downgrade, so a long run rebuilds
+        its step at most twice and cannot thrash between configs.
+        Explicit user choices are never touched (the probes only fire for
+        fields that were 'auto' at construction). Returns True when the
+        config changed and the step was rebuilt."""
+        changed: dict = {}
+        if (self._auto_force and self.config.force_backend == "bh"
+                and self.config.bh_deep_levels == 0):
+            from nbodysim_tpu.physics.forces import resolve_config_for_state
+
+            probed = resolve_config_for_state(
+                self.state.pos, self.state.mass,
+                self.config.replace(force_backend="auto"))
+            if probed.bh_deep_levels != 0:
+                changed["bh_deep_levels"] = probed.bh_deep_levels
+        if (self.config.enable_collisions
+                and self.config.collision_broad_phase == "auto"):
+            from nbodysim_tpu.physics.collisions import (
+                resolve_collision_phase_for_state)
+
+            probed = resolve_collision_phase_for_state(
+                self.state, self.config)
+            if (probed.collision_broad_phase
+                    != self.config.collision_broad_phase):
+                changed["collision_broad_phase"] = \
+                    probed.collision_broad_phase
+                changed["collision_cell_size"] = probed.collision_cell_size
+        if not changed:
+            return False
+        self.config = self.config.replace(**changed)
+        if self.config.integrator == "leapfrog_kdk":
+            # Re-prime so the carried half-kick acceleration comes from
+            # the newly adopted force discretization.
+            self.state = prime_accelerations(self.state, self.config)
+        self._step = make_step(self.config)
+        self._rollouts.clear()
+        return True
 
     def check_capacity(self, when: str = "the initial state") -> bool:
         """Host-side capacity check (the fixed-shape overflow residuals

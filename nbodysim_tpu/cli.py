@@ -154,8 +154,19 @@ def cmd_run(args):
                 break
             if changed and "dt" in directives \
                     and directives["dt"] != sim.config.dt:
-                sim.set_dt(directives["dt"])
-                print(f"control: dt -> {sim.config.dt}")
+                # Reference dt slider semantics (main.cpp:865-893): the UI
+                # clamps dt to [0.001, 0.1] and flags the max; mirror that
+                # for the control channel instead of accepting any value.
+                from nbodysim_tpu.api import DT_MAX, DT_MIN, clamp_dt
+
+                new_dt, clamped = clamp_dt(directives["dt"])
+                if clamped:
+                    print(f"control: dt {directives['dt']} outside the "
+                          f"reference slider range [{DT_MIN}, {DT_MAX}]; "
+                          f"clamped to {new_dt}")
+                if new_dt != sim.config.dt:
+                    sim.set_dt(new_dt)
+                    print(f"control: dt -> {sim.config.dt}")
             while directives.get("pause") and not directives.get("stop"):
                 time.sleep(0.2)
                 directives = read_control_file(control)
@@ -165,18 +176,33 @@ def cmd_run(args):
         todo = min(chunk, total - int(sim.frame))
         sim.run(todo)
         # Re-check residual-capacity occupancy as the scene evolves (a
-        # clustering disc can exceed the fixed caps long after init).
-        sim.check_capacity(when=f"frame {int(sim.frame)}")
+        # clustering disc can exceed the fixed caps long after init) and,
+        # when a cap trips on an auto config, adopt the coverage-enabling
+        # re-resolution (deep chain on / hash broad phase) mid-run.
+        if sim.check_capacity(when=f"frame {int(sim.frame)}"):
+            if sim.re_resolve_auto(when=f"frame {int(sim.frame)}"):
+                print(f"auto re-resolve at frame {int(sim.frame)}: "
+                      f"deep={sim.config.bh_deep_levels}, "
+                      f"collisions={sim.config.collision_broad_phase}")
         d = sim.diagnostics()
         elapsed = time.perf_counter() - t_start
         sps = int(sim.frame) / max(elapsed, 1e-9)
-        # HUD panel (reference main.cpp:919-944)
+        # HUD panel (reference main.cpp:919-944). The step rate carries
+        # the reference's FPS color thresholds (main.cpp:847: >= 30
+        # green, >= 15 orange, else red) when stdout is a terminal;
+        # piped/captured output stays ANSI-free.
+        if sys.stdout.isatty():
+            tint = ("\x1b[32m" if sps >= 30
+                    else "\x1b[33m" if sps >= 15 else "\x1b[31m")
+            rate = f"{tint}{sps:8.1f} steps/s\x1b[0m"
+        else:
+            rate = f"{sps:8.1f} steps/s"
         print(
             f"frame {int(sim.frame):7d} | E {float(d.total_energy):+.6e} | "
             f"KE {float(d.kinetic):.4e} | PE {float(d.potential):.4e} | "
             f"|p| {float(np.linalg.norm(d.momentum)):.3e} | "
             f"Lz {float(np.ravel(d.angular_momentum)[-1]):.4e} | "
-            f"{sps:8.1f} steps/s"
+            f"{rate}"
         )
         if args.metrics:
             m = system_metrics(sim.state, config)

@@ -1,0 +1,82 @@
+"""Cold-collapse drift attribution: deep chain vs the EXACT solver.
+
+VERDICT r3 weak #4 / next #6: the cold-collapse scene (test_deep_overflow.
+test_deep_rollout_stable) drifts ~3.4e-2 over 1k steps under the deep
+chain, and the gate only certifies boundedness. Before escalating tile
+counts, attribute the drift: a cold collapse drives the blob through the
+smoothing scale AND shrinks the dynamical time below dt, so fixed-dt
+leapfrog drifts even with EXACT forces. This script steps the identical
+scene 1000 steps with
+  (a) the exact all-pairs solver   (force error = 0 -> pure dt error),
+  (b) deep chain, no tiles,
+  (c) deep chain + tile refinement (8x finer smoothing),
+and prints |dE/E| checkpoints for each. If (a) ~ (c), the residual drift
+is an integration-timestep artifact, not a force-solver deficiency, and
+the right gate is RELATIVE: drift(c) <= K * drift(a). If (c) << (b) but
+(a) is tiny, the smoothing scale is the real error source and tile/level
+escalation is warranted.
+
+Run: python scripts/drift_cold.py  (pins the CPU backend in-process)
+"""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import jax                                              # noqa: E402
+
+# CPU attribution run (n=2048 is CPU-cheap; the env's sitecustomize ignores
+# JAX_PLATFORMS, so pin in-process like tests/conftest.py does).
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp                                 # noqa: E402
+import numpy as np                                      # noqa: E402
+
+from nbodysim_tpu.config import SimConfig               # noqa: E402
+from nbodysim_tpu.core.state import ParticleState       # noqa: E402
+from nbodysim_tpu.diagnostics.metrics import diagnostics  # noqa: E402
+from nbodysim_tpu.physics.integrators import (          # noqa: E402
+    make_rollout, prime_accelerations)
+
+N = 2048
+STEPS = 1000
+CHUNK = 100
+
+
+def scene():
+    # Identical construction to test_deep_rollout_stable (cold: v ~ 0).
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    blob = 60.0 * jax.random.normal(k[0], (N // 2, 2)) + jnp.array(
+        [1500.0, -700.0])
+    bg = jax.random.uniform(k[2], (N // 2, 2), jnp.float32,
+                            -4000.0, 4000.0)
+    pos = jnp.concatenate([blob, bg])
+    vel = 0.1 * jax.random.normal(k[1], (N, 2))
+    return ParticleState.create(pos=pos, vel=vel, mass=jnp.ones((N,)))
+
+
+BASE = dict(n=N, dt=0.05, integrator="leapfrog_kdk",
+            enable_collisions=False, enable_boundary=False,
+            enable_velocity_clamp=False, softening=5.0)
+CONFIGS = {
+    "exact (xla all-pairs)": SimConfig(force_backend="xla", **BASE),
+    "deep, no tiles": SimConfig(force_backend="bh", bh_levels=4,
+                                bh_deep_levels=7, bh_tile_levels=0, **BASE),
+    "deep + tiles k=3": SimConfig(force_backend="bh", bh_levels=4,
+                                  bh_deep_levels=7, bh_tile_levels=3,
+                                  bh_tile_size=16, **BASE),
+}
+
+for name, cfg in CONFIGS.items():
+    st = prime_accelerations(scene(), cfg)
+    e0 = float(diagnostics(st, cfg).total_energy)
+    roll = jax.jit(make_rollout(cfg, CHUNK))
+    worst = 0.0
+    marks = []
+    for c in range(STEPS // CHUNK):
+        st = roll(st)
+        e = float(diagnostics(st, cfg).total_energy)
+        d = abs(e - e0) / abs(e0)
+        worst = max(worst, d)
+        marks.append(d)
+    assert bool(jnp.all(jnp.isfinite(st.pos))), name
+    print(f"{name:24s} |dE/E| @100:{marks[0]:.2e} @300:{marks[2]:.2e} "
+          f"@1000:{marks[-1]:.2e}  worst:{worst:.2e}", flush=True)

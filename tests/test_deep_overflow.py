@@ -113,6 +113,42 @@ def test_tile_refinement_improves_clustered_accuracy():
     assert np.allclose(u0, u3, rtol=1e-4, atol=1e-7)
 
 
+def test_tile_selection_follows_migrated_mass():
+    """VERDICT r3 #6 (re-pin): tile placement is NOT pinned at init —
+    `_tile_select` top-ks the deep-target occupancy INSIDE the jitted
+    step, so a 10k-step merger whose nuclei migrate re-selects tiles
+    every evaluation. Gate: one compiled function evaluated on the same
+    scene with the hot blobs TRANSLATED to the opposite corners keeps
+    tile-tier accuracy at both placements (an init-pinned selection
+    would lose the refinement after the move)."""
+    n = 4096
+    pos, mass = _clustered(n)
+    cfg = SimConfig(n=n, bh_levels=5, bh_deep_levels=7, bh_tile_levels=3,
+                    bh_tile_size=16, force_backend="bh")
+    fn = jax.jit(lambda p: bh.bh_accelerations(p, mass, cfg))
+
+    def tile_err(p):
+        a_d = np.asarray(direct_accelerations(p, mass, eps_sq=EPS_SQ,
+                                              g_const=1.0))
+        rel = (np.linalg.norm(np.asarray(fn(p)) - a_d, axis=1)
+               / (np.linalg.norm(a_d, axis=1) + 1e-12))
+        return np.median(rel)
+
+    e_before = tile_err(pos)
+    # Migrate: move each blob across the domain (background unchanged,
+    # so the bounding square — and with it the grid geometry — barely
+    # moves; only the hot-tile LOCATIONS change).
+    moved = jnp.concatenate([
+        pos[: n // 4] + jnp.array([-3000.0, 1500.0]),
+        pos[n // 4: n // 2] + jnp.array([3500.0, -1800.0]),
+        pos[n // 2:]])
+    e_after = tile_err(moved)
+    # Both placements hold tile-tier accuracy (the untiled deep chain
+    # measures ~5e-2 median on this scene; tiles ~1.5e-2).
+    assert e_before < 3.5e-2, e_before
+    assert e_after < 3.5e-2, e_after
+
+
 def test_tile_params_resolution():
     cfg = SimConfig(n=1024)
     # off when the deep chain is off

@@ -166,3 +166,86 @@ def test_control_dt_change_applies(tmp_path, capsys):
           "--control", str(ctl)])
     outp = capsys.readouterr().out
     assert "control: dt -> 0.002" in outp
+
+
+def test_control_dt_clamped_to_reference_range(tmp_path, capsys):
+    """--control dt outside the reference slider range [0.001, 0.1]
+    (main.cpp:865-893) is clamped and the clamp surfaced."""
+    from nbodysim_tpu.cli import main
+
+    ctl = tmp_path / "ctl"
+    ctl.write_text("dt=5.0\n")
+    main(["run", "--scene", "plummer", "--n", "32", "--steps", "20",
+          "--log-every", "10", "--backend", "xla",
+          "--control", str(ctl)])
+    outp = capsys.readouterr().out
+    assert "outside the reference slider range" in outp
+    assert "control: dt -> 0.1" in outp
+
+
+def test_re_resolve_auto_enables_deep_midrun(monkeypatch):
+    """VERDICT r3 #6: a merger migrates mass, so a scene that was uniform
+    at init can overflow the bucket caps mid-run. The capacity recheck +
+    re_resolve_auto escalate the auto config (deep chain ON) from the
+    CURRENT distribution; escalation is monotonic and idempotent."""
+    import jax
+
+    import nbodysim_tpu.physics.forces as forces
+    from nbodysim_tpu.api import Simulation
+    from nbodysim_tpu.core.state import ParticleState
+
+    monkeypatch.setattr(forces, "BH_AUTO_THRESHOLD", 1024)
+    n = 1 << 15
+    cfg = nb.SimConfig(n=n, force_backend="auto", bh_levels=6,
+                       enable_collisions=False,
+                       integrator="euler_symplectic")
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    pos = jax.random.uniform(k1, (n, 2), minval=-1000.0, maxval=1000.0)
+    mass = jax.random.uniform(k2, (n,), minval=0.1, maxval=10.0)
+    sim = Simulation(cfg, state=ParticleState.create(
+        pos=pos, vel=jax.numpy.zeros_like(pos), mass=mass))
+    assert sim.config.force_backend == "bh"
+    assert sim.config.bh_deep_levels == 0
+    assert not sim.re_resolve_auto()           # uniform: nothing to adapt
+
+    # Collapse 3/4 of the particles into a nucleus (mid-run migration).
+    blob = sim.state.pos.at[: (3 * n) // 4].multiply(0.002)
+    sim.state = sim.state.replace(pos=blob)
+    with pytest.warns(RuntimeWarning):
+        assert sim.check_capacity(when="after migration")
+    with pytest.warns(RuntimeWarning):
+        assert sim.re_resolve_auto(when="after migration")
+    assert sim.config.bh_deep_levels == -1
+    assert not sim.re_resolve_auto()           # idempotent once escalated
+
+
+def test_re_resolve_auto_switches_collision_phase_midrun():
+    """Collision analogue: the auto bucket broad phase overflows after
+    mid-run clustering and re_resolve_auto adopts the radius-scaled
+    sorted hash — full collision coverage at any clustering."""
+    import jax
+
+    from nbodysim_tpu.api import Simulation
+    from nbodysim_tpu.core.state import ParticleState
+    from nbodysim_tpu.physics.collisions import DENSE_THRESHOLD
+
+    n = DENSE_THRESHOLD * 2
+    cfg = nb.SimConfig(n=n, force_backend="xla",
+                       integrator="euler_symplectic",
+                       enable_collisions=True)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    pos = jax.random.uniform(k1, (n, 2), minval=-50000.0, maxval=50000.0)
+    mass = jax.random.uniform(k2, (n,), minval=0.1, maxval=10.0)
+    sim = Simulation(cfg, state=ParticleState.create(
+        pos=pos, vel=jax.numpy.zeros_like(pos), mass=mass))
+    assert sim.config.collision_broad_phase == "auto"
+
+    blob = sim.state.pos.at[: (3 * n) // 4].multiply(0.0002)
+    sim.state = sim.state.replace(pos=blob)
+    with pytest.warns(RuntimeWarning):
+        assert sim.check_capacity(when="after migration")
+    with pytest.warns(RuntimeWarning):
+        assert sim.re_resolve_auto(when="after migration")
+    assert sim.config.collision_broad_phase == "hash"
+    assert sim.config.collision_cell_size == 0.0
+    assert not sim.re_resolve_auto()
