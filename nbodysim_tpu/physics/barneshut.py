@@ -411,11 +411,18 @@ def _m2l_conv(gx, corner, size, r_full: int, eps_sq, radius: int,
     # dot_generals: the scan re-reads the full parent-level window from
     # HBM per tap (bandwidth-bound at the 4096^2 deep level — measured
     # 0.265 s/eval scan vs 0.228 s conv at r=4096, R=3, HIGHEST; err
-    # 8e-7, scripts/exp_m2l_conv.py).
+    # 8e-7, scripts/exp_m2l_conv.py). Deep levels (r >= 1024) run the
+    # contraction at HIGH (bf16x3): 0.189 vs 0.227 s/eval at 4096^2 for
+    # 2.2e-5 relative error on the local terms — two decades below the
+    # level's PM-smoothing/truncation budget (r4, exp_m2l_conv.py C).
+    # Shallow levels keep HIGHEST (cheap there; they carry the
+    # large-scale force the drift gate integrates).
+    prec = (lax.Precision.HIGH if r_full >= 1024
+            else lax.Precision.HIGHEST)
     out = lax.conv_general_dilated(
         m4[None], W.reshape(k, k, 24, 36), window_strides=(1, 1),
         padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=lax.Precision.HIGHEST)[0].reshape(hb * h, 36)
+        precision=prec)[0].reshape(hb * h, 36)
     inv_s = 1.0 / s_l
     s2 = inv_s * inv_s
     scales = (s2, s2, s2 * inv_s, s2 * inv_s, s2 * inv_s,

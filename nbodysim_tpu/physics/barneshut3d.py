@@ -541,11 +541,15 @@ def _m2l_conv3(gxt, corner, size, r_full: int, eps_sq, radius: int,
     # One k^3 VALID convolution instead of a scan of k^3 shifted
     # dot_generals — the scan re-reads the full parent-level window from
     # HBM per tap (see the 2D _m2l_conv note; measured 14% faster at
-    # 4096^2, scripts/exp_m2l_conv.py).
+    # 4096^2, scripts/exp_m2l_conv.py). Deep grids (r >= 256, i.e.
+    # 256^3 = 16.7M cells and up) take HIGH like the 2D deep levels —
+    # bf16x3's 2.2e-5 term error sits far below the PM budget there.
+    prec = (lax.Precision.HIGH if r_full >= 256
+            else lax.Precision.HIGHEST)
     out = lax.conv_general_dilated(
         m8[None], W.reshape(k, k, k, 80, 152), window_strides=(1, 1, 1),
         padding="VALID", dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        precision=lax.Precision.HIGHEST)[0].reshape(hb * h * h, 152)
+        precision=prec)[0].reshape(hb * h * h, 152)
     # back to physical units: F, J, H scale as s_l^-(2, 3, 4).
     inv_s = 1.0 / s_l
     s2 = inv_s * inv_s
