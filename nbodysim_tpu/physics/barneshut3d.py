@@ -524,16 +524,22 @@ def _m2l_conv3(gxt, corner, size, r_full: int, eps_sq, radius: int,
     dtype = gxt[0].dtype
 
     ch = _center_channels3(gxt, corner, size, r_full, row0 - 2 * qh)
-    # Space-to-depth via per-channel parity slices + ONE stack straight to
-    # the 80-lane form (the former [X/2, 2, h, 2, h, 2, 10] reshape/
-    # transpose materializes at 51x tile padding under remat — the r3
-    # 256^3 compile OOM). Lane order (4a+2b+d)*10 + c matches
-    # _m2l_conv_taps' child enumeration.
+    # Space-to-depth via per-channel parity slices. Stack on axis 0, NOT
+    # the lane axis: a stack(axis=-1) materializes 80 width-1 lane-minor
+    # concat operands, each padded 128x under T(8,128) tiling — measured
+    # 450 MB per [8,50,48,48,1] remat copy in the r3/r4 clustered-1M HBM
+    # OOM (bench3d_clustered.log; the former [X/2,2,h,2,h,2,10]
+    # reshape/transpose OOMed the same way at 51x). Axis-0 operands
+    # [1, X/2, h, h] pad only on the (h, h) tile minors; the single
+    # transpose to channel-minor materializes m8 once at its conv layout.
+    # Lane order (4a+2b+d)*10 + c matches _m2l_conv_taps' child
+    # enumeration.
     m8 = jnp.stack(
         [ch[c][a::2, b::2, d::2]
          for a in (0, 1) for b in (0, 1) for d in (0, 1)
-         for c in range(10)], axis=-1)                 # [X/2, h, h, 80]
-    m8 = jnp.pad(m8, ((0, 0), (qh, qh), (qh, qh), (0, 0)))
+         for c in range(10)], axis=0)                  # [80, X/2, h, h]
+    m8 = jnp.pad(m8, ((0, 0), (0, 0), (qh, qh), (qh, qh)))
+    m8 = m8.transpose(1, 2, 3, 0)                      # [X/2, h', h', 80]
     s_l = size / r_full
     W = _m2l_conv_weights3(R, Rp, eps_sq / (s_l * s_l), dtype)
 
