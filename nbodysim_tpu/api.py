@@ -181,10 +181,31 @@ class Simulation:
                         f"collision bucket overflow {over} exceeds the "
                         f"residual capacity {COLL_CAP} on {when}; "
                         f"excess particles get no collision response. Set "
-                        f"collision_broad_phase='hash' (radius-scaled "
+                        f"collision_broad_phase='block' (radius-scaled "
                         f"cells, full coverage) or raise "
                         f"collision_grid_res / collision_max_neighbors.",
                         RuntimeWarning)
+
+        resolves_block = (
+            self.config.collision_broad_phase == "block"
+            or (self.config.collision_broad_phase == "auto"
+                and self.state.dim == 3))
+        if (self.config.enable_collisions and resolves_block):
+            from nbodysim_tpu.physics.collisions import (
+                DENSE_THRESHOLD,
+                _OVERFLOW_CAP as COLL_CAP, collision_block_overflow)
+
+            if self.state.n <= DENSE_THRESHOLD \
+                    and self.config.collision_broad_phase == "auto":
+                return exceeded
+            over = collision_block_overflow(self.state, self.config)
+            if over > COLL_CAP:
+                exceeded = True
+                warnings.warn(
+                    f"collision block-window overflow {over} exceeds the "
+                    f"residual capacity {COLL_CAP} on {when}; excess "
+                    f"particles get no collision response. Raise "
+                    f"collision_block_size.", RuntimeWarning)
         return exceeded
 
     @property

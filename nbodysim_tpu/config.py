@@ -56,7 +56,7 @@ class SimConfig:
     # the occupancy probe at Simulation init switches clustered 2D scenes
     # here with radius-scaled cells, where the fixed-res bucket grid would
     # drop pairs beyond its residual capacity).
-    collision_broad_phase: str = "auto"  # "auto"|"dense"|"bucket"|"hash"
+    collision_broad_phase: str = "auto"  # "auto"|"dense"|"bucket"|"hash"|"block"
     # Spatial-hash cell size; <= 0 means radius-scaled auto (2.05x the
     # 65th-largest radius — the smallest size the big-body extraction
     # permits, minimizing occupancy in clustered scenes).
@@ -65,6 +65,9 @@ class SimConfig:
     collision_iterations: int = 1        # Jacobi sweeps per step (1 = ref-like)
     collision_max_neighbors: int = 16    # grid bucket capacity at large N
     collision_grid_res: int = 512        # bucket grid cells/axis (2D path)
+    # Lex-sorted block pass: targets per block (multiple of 128; the
+    # static neighbor window is 2x this plus alignment margin).
+    collision_block_size: int = 512
     # Narrow-phase backend for the dense (N <= 64k) pass: "auto" uses the
     # Pallas kernel on TPU (kernels/collide.py) and blocked XLA elsewhere.
     collision_backend: str = "auto"      # "auto" | "pallas" | "xla"
@@ -127,10 +130,14 @@ class SimConfig:
             raise ValueError(
                 f"unknown collision backend {self.collision_backend!r}")
         if self.collision_broad_phase not in ("auto", "dense", "bucket",
-                                              "hash"):
+                                              "hash", "block"):
             raise ValueError(
                 f"unknown collision broad phase "
                 f"{self.collision_broad_phase!r}")
+        if self.collision_block_size < 128 or self.collision_block_size % 128:
+            raise ValueError(
+                f"collision_block_size must be a positive multiple of 128, "
+                f"got {self.collision_block_size}")
 
     @property
     def eps_sq(self) -> float:

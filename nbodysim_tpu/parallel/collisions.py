@@ -125,8 +125,15 @@ def sharded_collision_deltas(
         if n <= DENSE_THRESHOLD:
             bp = "dense"
         else:
-            bp = "bucket" if dim == 2 else "hash"
+            bp = "bucket" if dim == 2 else "block"
     if bp == "bucket" and dim != 2:
+        bp = "block"
+    if bp == "block":
+        # The lex-sorted block pass (physics/collisions._block_pass) has
+        # no banded decomposition yet; the banded hash resolves the same
+        # radius-scaled-cell physics across the mesh (hash window caps vs
+        # block coverage caps differ only in WHICH rare overflow pairs
+        # take the exact residual).
         bp = "hash"
     if bp == "dense":
         return gathered_dense_deltas(

@@ -336,14 +336,32 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     else:
         dpos_s, dvel_s = window_scan(tgt_full)
 
-    impulse = config.collision_impulse
-    everyone = (pos_s, vel_s, mass_s, radius_s, cell_s)
     inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
-
-    # -- big bodies: exact, unmasked by cells (they reach across cells) --
     big_src = (pos[top_i], vel[top_i],
                jnp.where(big_sel, mass[top_i], 0.0),
                radius[top_i], cell[top_i])
+    dpos_s, dvel_s = _exact_corrections(
+        dpos_s, dvel_s, (pos_s, vel_s, mass_s, radius_s, cell_s),
+        in_win, big_s, big_src, big_sel, inv[top_i], overflow,
+        config.collision_impulse, dim)
+
+    # Scatter back to original order.
+    return state.replace(pos=pos + dpos_s[inv], vel=vel + dvel_s[inv])
+
+
+def _exact_corrections(dpos_s, dvel_s, sorted_fields, in_cover, big_s,
+                       big_src, big_sel, top_sorted, overflow,
+                       impulse: float, dim: int):
+    """Big-body + overflow-residual exact passes, shared by the hash and
+    block broad phases. `sorted_fields` = (pos, vel, mass, radius, cell)
+    in broad-phase sorted order; `in_cover` marks sorted-order smalls the
+    broad phase fully resolved; `big_src` is the (<= 64)-row extracted
+    big-body tuple and `top_sorted` its rows' sorted-order indices."""
+    pos_s, vel_s, mass_s, radius_s, cell_s = sorted_fields
+    n = pos_s.shape[0]
+    everyone = sorted_fields
+
+    # -- big bodies: exact, unmasked by cells (they reach across cells) --
     dp_b1, dv_b1 = _cheb_pair_deltas_blocked(
         everyone, big_src, dim, impulse, max_cheb=None)
     dpos_s = dpos_s + dp_b1
@@ -352,18 +370,17 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
                  radius_s, cell_s)
     dp_b2, dv_b2 = _cheb_pair_deltas_blocked(
         big_src, small_src, dim, impulse, max_cheb=None)
-    top_sorted = inv[top_i]      # top_i indexes the ORIGINAL order
     dpos_s = dpos_s.at[top_sorted].add(
         jnp.where(big_sel[:, None], dp_b2, 0.0))
     dvel_s = dvel_s.at[top_sorted].add(
         jnp.where(big_sel[:, None], dv_b2, 0.0))
 
-    # -- overflow residual (small particles beyond the window cap) -------
+    # -- overflow residual (smalls the broad phase could not cover) ------
     m_cap = min(n, _OVERFLOW_CAP)
 
     def residual(args):
         dpos_s, dvel_s = args
-        keep = in_win | big_s            # NOT overflow-small
+        keep = in_cover | big_s          # NOT overflow-small
         o_idx = jnp.argsort(keep)[:m_cap]
         o_valid = ~keep[o_idx]
         o = (pos_s[o_idx], vel_s[o_idx],
@@ -379,22 +396,299 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
         # instead (r3 review).
         sel_over = jnp.zeros((n,), bool).at[o_idx].set(o_valid)
         dp_b, dv_b = _cheb_pair_deltas_blocked(everyone, o, dim, impulse)
-        tgt_ok = (~big_s & (in_win | sel_over))[:, None]
+        tgt_ok = (~big_s & (in_cover | sel_over))[:, None]
         dpos_s = dpos_s + jnp.where(tgt_ok, dp_b, 0.0)
         dvel_s = dvel_s + jnp.where(tgt_ok, dv_b, 0.0)
-        # (c): overflow targets <- in-window sources (cheb <= 1).
-        in_win_src = (pos_s, vel_s, jnp.where(in_win, mass_s, 0.0),
-                      radius_s, cell_s)
-        dp_c, dv_c = _cheb_pair_deltas_blocked(o, in_win_src, dim, impulse)
+        # (c): overflow targets <- covered sources (cheb <= 1).
+        cover_src = (pos_s, vel_s, jnp.where(in_cover, mass_s, 0.0),
+                     radius_s, cell_s)
+        dp_c, dv_c = _cheb_pair_deltas_blocked(o, cover_src, dim, impulse)
         dpos_s = dpos_s.at[o_idx].add(jnp.where(o_valid[:, None], dp_c, 0.0))
         dvel_s = dvel_s.at[o_idx].add(jnp.where(o_valid[:, None], dv_c, 0.0))
         return dpos_s, dvel_s
 
-    dpos_s, dvel_s = lax.cond(
-        overflow > 0, residual, lambda a: a, (dpos_s, dvel_s))
+    return lax.cond(overflow > 0, residual, lambda a: a, (dpos_s, dvel_s))
 
-    # Scatter back to original order.
-    return state.replace(pos=pos + dpos_s[inv], vel=vel + dvel_s[inv])
+
+# ---------------------------------------------------------------------------
+# Lex-sorted block broad phase (large N, 2D + 3D): the flagship-scale path
+# ---------------------------------------------------------------------------
+
+# Sentinel strip for rows excluded from the lex grid (bigs, padding): sorts
+# past every real cell, and sentinel + any neighbor offset never equals a
+# real cell coordinate, so windowed pair masks reject these rows for free.
+_CELL_SENTINEL = jnp.iinfo(jnp.int32).max - 4
+
+
+def _lex_searchsorted(cols, qs, right: bool, n: int):
+    """Vectorized binary search over a lex-sorted tuple of int32 columns.
+
+    cols: tuple of [n] arrays sorted lexicographically; qs: tuple of query
+    arrays (any shape). Returns the left (or right) insertion index. No
+    native multi-key searchsorted exists; this is log2(n) rounds of one
+    tiny gather each (query counts are per-BLOCK, thousands not millions)."""
+    lo = jnp.zeros(qs[0].shape, jnp.int32)
+    hi = jnp.full(qs[0].shape, n, jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        midc = jnp.minimum(mid, n - 1)
+        ks = tuple(c[midc] for c in cols)
+        # lex compare ks < qs (left) / ks <= qs (right), folded from the
+        # last key outward.
+        go = ks[-1] <= qs[-1] if right else ks[-1] < qs[-1]
+        for k, q in zip(reversed(ks[:-1]), reversed(qs[:-1])):
+            go = (k < q) | ((k == q) & go)
+        go = go & (lo < hi)
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    lo, hi = lax.fori_loop(0, max(1, n - 1).bit_length() + 1, body,
+                           (lo, hi))
+    return lo
+
+
+def _block_structure(pos, radius, config: SimConfig):
+    """Shared prologue of the block pass and its occupancy diagnostic:
+    big-body extraction, cell assignment, lex sort, per-block neighbor
+    windows, and block coverage flags."""
+    n, dim = pos.shape
+    t_blk = config.collision_block_size
+    n_pad = (-n) % t_blk
+    n_tot = n + n_pad
+    nb = n_tot // t_blk
+
+    # Big-body extraction: identical policy to _grid_pass (radius-scaled
+    # cell floor keeps at most 64 bodies beyond the cell reach).
+    k_big = min(64, n)
+    top_r, top_i = lax.top_k(radius, min(k_big + 1, n))
+    base = max(float(config.collision_cell_size), 0.0)
+    cell_size = jnp.maximum(jnp.asarray(base, pos.dtype),
+                            jnp.maximum(2.05 * top_r[min(k_big, n - 1)],
+                                        1e-6))
+    big_sel = top_r[:k_big] > 0.5 * cell_size
+    top_i = top_i[:k_big]
+    is_big = jnp.zeros((n,), bool).at[top_i].set(big_sel)
+
+    cell = jnp.floor(pos / cell_size).astype(jnp.int32)         # [N, D]
+    key0 = jnp.where(is_big, _CELL_SENTINEL, cell[:, 0])
+    ops = lax.sort(
+        (key0,) + tuple(cell[:, a] for a in range(1, dim))
+        + (jnp.arange(n, dtype=jnp.int32),), num_keys=dim)
+    order = ops[-1]
+    # Sorted key columns, padded to whole blocks with a strictly-last
+    # sentinel strip (padding sorts after the bigs' sentinel by key0+1).
+    keys = [jnp.pad(ops[a], (0, n_pad),
+                    constant_values=_CELL_SENTINEL + 1)
+            for a in range(dim)]
+
+    # Per-block first/last target cells -> neighbor windows. The x-offset
+    # neighborhood of a lex-consecutive cell run is itself a lex interval
+    # (merging the +-1 trailing-axis offsets into the interval bounds), so
+    # 3 windows per block cover the 9-cell neighborhood in 2D and 9 cover
+    # the 27-cell one in 3D.
+    firsts = tuple(k.reshape(nb, t_blk)[:, 0] for k in keys)
+    lasts = tuple(k.reshape(nb, t_blk)[:, -1] for k in keys)
+    if dim == 2:
+        lead_offs = [(dx,) for dx in (-1, 0, 1)]
+    else:
+        lead_offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    w_lo, w_hi = [], []
+    for off in lead_offs:
+        qlo = tuple(firsts[a] + off[a] for a in range(dim - 1)) \
+            + (firsts[dim - 1] - 1,)
+        qhi = tuple(lasts[a] + off[a] for a in range(dim - 1)) \
+            + (lasts[dim - 1] + 1,)
+        w_lo.append(_lex_searchsorted(keys, qlo, False, n_tot))
+        w_hi.append(_lex_searchsorted(keys, qhi, True, n_tot))
+    w_lo = jnp.stack(w_lo, axis=1)                       # [nb, n_off]
+    w_hi = jnp.stack(w_hi, axis=1)
+
+    # 128-aligned gather windows of static length; a block is "covered"
+    # when every offset's true span fits its window.
+    w_len = 2 * t_blk + 256
+    start_blk = jnp.clip(w_lo // 128, 0,
+                         max(0, (n_tot // 128) - (w_len // 128)))
+    ok_blk = jnp.all(w_hi - start_blk * 128 <= w_len, axis=1)   # [nb]
+
+    return dict(n=n, dim=dim, t_blk=t_blk, n_pad=n_pad, n_tot=n_tot,
+                nb=nb, order=order, cell=cell, cell_size=cell_size,
+                is_big=is_big, big_sel=big_sel, top_i=top_i,
+                w_lo=w_lo, w_hi=w_hi, start_blk=start_blk, ok_blk=ok_blk,
+                w_len=w_len, n_off=len(lead_offs), lead_offs=lead_offs)
+
+
+def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
+    """Lex-sorted block Jacobi collision pass (large N, 2D and 3D).
+
+    The hash pass's per-candidate gather scan moves ~(27 x window) gathered
+    rows per particle through HBM — measured 38.6 s/pass at N=4M on one
+    v5e (r4 bisect), gather-bound. This pass exploits the one property the
+    hash destroys: sorting by TRUE cell coordinates (one multi-key
+    `lax.sort`) makes every neighbor offset's sources a CONTIGUOUS,
+    monotone window of the sorted array per block of targets. Per block of
+    T consecutive sorted particles:
+
+      1. per-block lex binary search locates the 3 (2D) / 9 (3D) windows
+         (the trailing-axis +-1 offsets merge into the interval bounds);
+      2. window rows arrive via 128-row-aligned ROW gathers (~2M rows
+         total at N=4M vs 604M for the hash scan) — the known-fast TPU
+         gather form;
+      3. pair resolution is dense masked [T, W] broadcast blocks on the
+         VPU (the bucket-stencil architecture, without needing a dense
+         grid: radius-scaled cells over a +-540k-unit merger span would
+         need a 420k^2 grid).
+
+    Pairs fire iff BOTH members sit in covered blocks (windows hold the
+    full true span), keeping every impulse two-sided; particles of
+    uncovered blocks take the shared exact residual (cap
+    `_OVERFLOW_CAP`), and big bodies the shared unmasked passes —
+    identical conservation semantics to _grid_pass. Reference narrow
+    phase: Simulation.hpp:216-346."""
+    pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
+    n, dim = pos.shape
+    s = _block_structure(pos, radius, config)
+    t_blk, nb, n_tot = s["t_blk"], s["nb"], s["n_tot"]
+    n_off, w_len = s["n_off"], s["w_len"]
+    order, is_big = s["order"], s["is_big"]
+    cell = s["cell"]
+
+    pos_s, vel_s = pos[order], vel[order]
+    mass_s, radius_s = mass[order], radius[order]
+    cell_s = cell[order]
+    big_s = is_big[order]
+
+    # Per-particle coverage (sorted order, unpadded): covered block and
+    # not big. Padding rows are inert (mass 0) and the pad block's
+    # coverage flag is irrelevant to them.
+    ok_p = jnp.repeat(s["ok_blk"], t_blk)[:n] & ~big_s
+    overflow = jnp.sum(~ok_p & ~big_s)
+
+    def padded(a, fill=0.0):
+        if s["n_pad"] == 0:
+            return a
+        return jnp.pad(a, ((0, s["n_pad"]),) + ((0, 0),) * (a.ndim - 1),
+                       constant_values=fill)
+
+    # Sorted, padded field planes for the window gathers. Keys carry the
+    # sentinel in column 0 for bigs/padding so cell-match masks reject
+    # them without a separate flag.
+    key_cols = [padded(jnp.where(big_s, _CELL_SENTINEL, cell_s[:, 0]),
+                       _CELL_SENTINEL + 1)]
+    key_cols += [padded(cell_s[:, a], _CELL_SENTINEL + 1)
+                 for a in range(1, dim)]
+    planes = ([padded(pos_s[:, a]) for a in range(dim)]
+              + [padded(vel_s[:, a]) for a in range(dim)]
+              + [padded(jnp.where(ok_p, mass_s, 0.0)),
+                 padded(radius_s, fill=-1e9)]
+              + key_cols)
+    okf = padded(ok_p.astype(pos.dtype))
+
+    row_ids = (s["start_blk"][:, :, None]
+               + jnp.arange(w_len // 128, dtype=jnp.int32)[None, None, :])
+
+    def gather_windows(a):
+        g = a.reshape(n_tot // 128, 128)[row_ids]   # [nb, n_off, WB, 128]
+        return g.reshape(nb, n_off, w_len)
+
+    src_rows = (s["start_blk"][:, :, None] * 128
+                + jnp.arange(w_len, dtype=jnp.int32)[None, None, :])
+    in_span = ((src_rows >= s["w_lo"][:, :, None])
+               & (src_rows < s["w_hi"][:, :, None]))
+
+    tgt_rows = jnp.arange(n_tot, dtype=jnp.int32).reshape(nb, t_blk)
+    impulse = config.collision_impulse
+
+    # Chunk blocks so the [CB, T, W] pair temps stay ~100s of MB.
+    cb = max(1, (1 << 25) // (t_blk * w_len))
+    while nb % cb:
+        cb -= 1
+
+    def chunk_fn(args):
+        tgt_planes, win_planes, span_c, rows_c, trows_c, okt_c = args
+        tpx = [tgt_planes[a] for a in range(dim)]
+        tvx = [tgt_planes[dim + a] for a in range(dim)]
+        tm, tr = tgt_planes[2 * dim], tgt_planes[2 * dim + 1]
+        tkey = [tgt_planes[2 * dim + 2 + a] for a in range(dim)]
+        acc_dp = jnp.zeros(tm.shape + (dim,), tm.dtype)
+        acc_dv = jnp.zeros(tm.shape + (dim,), tm.dtype)
+        for o, off in enumerate(s["lead_offs"]):
+            spx = [win_planes[a][:, o] for a in range(dim)]
+            svx = [win_planes[dim + a][:, o] for a in range(dim)]
+            sm = win_planes[2 * dim][:, o]
+            sr = win_planes[2 * dim + 1][:, o]
+            skey = [win_planes[2 * dim + 2 + a][:, o] for a in range(dim)]
+            sok = win_planes[2 * dim + 2 + dim][:, o]
+            # [CB, T, W] pair masks: exact cell match on the lead axes,
+            # +-1 on the trailing axis, symmetric coverage, no self.
+            valid = span_c[:, o][:, None, :]
+            for a in range(dim - 1):
+                valid = valid & (skey[a][:, None, :]
+                                 == tkey[a][:, :, None] + off[a])
+            dtrail = (skey[dim - 1][:, None, :]
+                      - tkey[dim - 1][:, :, None])
+            valid = valid & (jnp.abs(dtrail) <= 1)
+            valid = valid & (rows_c[:, o][:, None, :]
+                             != trows_c[:, :, None])
+            valid = valid & (sok[:, None, :] > 0) & okt_c[:, :, None]
+            d = jnp.stack([spx[a][:, None, :] - tpx[a][:, :, None]
+                           for a in range(dim)], axis=-1)
+            v = jnp.stack([svx[a][:, None, :] - tvx[a][:, :, None]
+                           for a in range(dim)], axis=-1)
+            msum = tm[:, :, None] + sm[:, None, :]
+            valid = valid & (msum > 0)
+            w1 = jnp.where(valid,
+                           sm[:, None, :] / jnp.where(msum > 0, msum, 1.0),
+                           0.0)
+            r = tr[:, :, None] + sr[:, None, :]
+            dp, dv = _pair_deltas(d, v, w1, r, valid, impulse)
+            acc_dp = acc_dp + jnp.sum(dp, axis=2)
+            acc_dv = acc_dv + jnp.sum(dv, axis=2)
+        return acc_dp, acc_dv
+
+    tgt_planes = tuple(p.reshape(nb, t_blk) for p in planes)
+    win_planes = tuple(gather_windows(p) for p in planes + [okf])
+    okt = (okf.reshape(nb, t_blk) > 0)
+
+    if nb > cb:
+        def prep(a):
+            return a.reshape(nb // cb, cb, *a.shape[1:])
+
+        dp_s, dv_s = lax.map(
+            chunk_fn,
+            (jax.tree.map(prep, tgt_planes),
+             jax.tree.map(prep, win_planes),
+             prep(in_span), prep(src_rows), prep(tgt_rows), prep(okt)))
+        dp_s = dp_s.reshape(n_tot, dim)[:n]
+        dv_s = dv_s.reshape(n_tot, dim)[:n]
+    else:
+        dp_s, dv_s = chunk_fn((tgt_planes, win_planes, in_span,
+                               src_rows, tgt_rows, okt))
+        dp_s = dp_s.reshape(n_tot, dim)[:n]
+        dv_s = dv_s.reshape(n_tot, dim)[:n]
+
+    inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
+    top_i, big_sel = s["top_i"], s["big_sel"]
+    big_src = (pos[top_i], vel[top_i],
+               jnp.where(big_sel, mass[top_i], 0.0),
+               radius[top_i], cell[top_i])
+    dp_s, dv_s = _exact_corrections(
+        dp_s, dv_s, (pos_s, vel_s, mass_s, radius_s, cell_s),
+        ok_p, big_s, big_src, big_sel, inv[top_i], overflow,
+        impulse, dim)
+
+    return state.replace(pos=pos + dp_s[inv], vel=vel + dv_s[inv])
+
+
+def collision_block_overflow(state: ParticleState,
+                             config: SimConfig) -> int:
+    """Diagnostic: small particles in uncovered blocks (window span beyond
+    the static gather window), i.e. the load the block pass would push
+    into its capped exact residual. Mirrors _block_structure."""
+    s = _block_structure(state.pos, state.radius, config)
+    ok_p = (jnp.repeat(s["ok_blk"], s["t_blk"])[:s["n"]]
+            & ~s["is_big"][s["order"]])
+    return int(jnp.sum(~ok_p & ~s["is_big"][s["order"]]))
 
 
 # ---------------------------------------------------------------------------
@@ -674,11 +968,12 @@ def resolve_collision_phase_for_state(state: ParticleState,
         return config
     warnings.warn(
         f"auto collision broad phase: bucket-grid overflow {over} exceeds "
-        f"the residual capacity {_OVERFLOW_CAP}; switching to the sorted "
-        f"spatial hash with radius-scaled cells (full collision coverage "
-        f"at any clustering). Set collision_broad_phase explicitly to "
-        f"override.", RuntimeWarning)
-    return config.replace(collision_broad_phase="hash",
+        f"the residual capacity {_OVERFLOW_CAP}; switching to the "
+        f"lex-sorted block pass with radius-scaled cells (full collision "
+        f"coverage at any clustering; the gather-bound sorted hash stays "
+        f"available as collision_broad_phase='hash'). Set "
+        f"collision_broad_phase explicitly to override.", RuntimeWarning)
+    return config.replace(collision_broad_phase="block",
                           collision_cell_size=0.0)
 
 
@@ -691,11 +986,11 @@ def resolve_collisions(state: ParticleState, config: SimConfig) -> ParticleState
         if state.n <= DENSE_THRESHOLD:
             bp = "dense"
         else:
-            bp = "bucket" if state.dim == 2 else "hash"
+            bp = "bucket" if state.dim == 2 else "block"
     if bp == "bucket" and state.dim != 2:
-        bp = "hash"       # the dense bucket grid is 2D-only
+        bp = "block"      # the dense bucket grid is 2D-only
     one_pass = {"dense": _dense_pass, "bucket": _bucket_pass,
-                "hash": _grid_pass}[bp]
+                "hash": _grid_pass, "block": _block_pass}[bp]
     for _ in range(max(1, config.collision_iterations)):
         state = one_pass(state, config)
     return state

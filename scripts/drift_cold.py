@@ -63,9 +63,26 @@ CONFIGS = {
     "deep + tiles k=3": SimConfig(force_backend="bh", bh_levels=4,
                                   bh_deep_levels=7, bh_tile_levels=3,
                                   bh_tile_size=16, **BASE),
+    # Escalation ladder (r4): the attribution run showed exact-dt drift
+    # ~1e-5 vs 3.4e-2 for deep+tiles k=3, i.e. the error IS the smoothing
+    # scale — each extra tile level halves it inside hot tiles; extra
+    # tiles widen the refined area.
+    "deep + tiles k=4": SimConfig(force_backend="bh", bh_levels=4,
+                                  bh_deep_levels=7, bh_tile_levels=4,
+                                  bh_tile_size=16, **BASE),
+    "deep + tiles k=5": SimConfig(force_backend="bh", bh_levels=4,
+                                  bh_deep_levels=7, bh_tile_levels=5,
+                                  bh_tile_size=16, **BASE),
+    "deep + tiles k=4 T=16": SimConfig(force_backend="bh", bh_levels=4,
+                                       bh_deep_levels=7, bh_tile_levels=4,
+                                       bh_tile_size=16, bh_tile_count=16,
+                                       **BASE),
 }
 
+only = set(sys.argv[1:])
 for name, cfg in CONFIGS.items():
+    if only and not any(s in name for s in only):
+        continue
     st = prime_accelerations(scene(), cfg)
     e0 = float(diagnostics(st, cfg).total_energy)
     roll = jax.jit(make_rollout(cfg, CHUNK))

@@ -181,9 +181,9 @@ def test_auto_switches_to_hash_on_bucket_overflow():
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
             out = cmod.resolve_collision_phase_for_state(state, cfg)
-        assert out.collision_broad_phase == "hash"
+        assert out.collision_broad_phase == "block"
         assert out.collision_cell_size == 0.0
-        assert any("sorted" in str(x.message) for x in w)
+        assert any("block" in str(x.message) for x in w)
         # Explicit choices are honored untouched.
         cfg_b = cfg.replace(collision_broad_phase="bucket")
         assert cmod.resolve_collision_phase_for_state(

@@ -246,6 +246,6 @@ def test_re_resolve_auto_switches_collision_phase_midrun():
         assert sim.check_capacity(when="after migration")
     with pytest.warns(RuntimeWarning):
         assert sim.re_resolve_auto(when="after migration")
-    assert sim.config.collision_broad_phase == "hash"
+    assert sim.config.collision_broad_phase == "block"
     assert sim.config.collision_cell_size == 0.0
     assert not sim.re_resolve_auto()
