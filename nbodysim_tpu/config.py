@@ -65,9 +65,10 @@ class SimConfig:
     collision_iterations: int = 1        # Jacobi sweeps per step (1 = ref-like)
     collision_max_neighbors: int = 16    # grid bucket capacity at large N
     collision_grid_res: int = 512        # bucket grid cells/axis (2D path)
-    # Lex-sorted block pass: targets per block (multiple of 128; the
-    # static neighbor window is 2x this plus alignment margin).
-    collision_block_size: int = 512
+    # Lex-sorted block pass: targets per block (multiple of 256 — the
+    # Pallas kernel's tile width; the static neighbor window is 2x this
+    # plus alignment margin).
+    collision_block_size: int = 256
     # Narrow-phase backend for the dense (N <= 64k) pass: "auto" uses the
     # Pallas kernel on TPU (kernels/collide.py) and blocked XLA elsewhere.
     collision_backend: str = "auto"      # "auto" | "pallas" | "xla"
@@ -134,9 +135,9 @@ class SimConfig:
             raise ValueError(
                 f"unknown collision broad phase "
                 f"{self.collision_broad_phase!r}")
-        if self.collision_block_size < 128 or self.collision_block_size % 128:
+        if self.collision_block_size < 256 or self.collision_block_size % 256:
             raise ValueError(
-                f"collision_block_size must be a positive multiple of 128, "
+                f"collision_block_size must be a positive multiple of 256, "
                 f"got {self.collision_block_size}")
 
     @property

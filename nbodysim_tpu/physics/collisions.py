@@ -448,15 +448,38 @@ def _lex_searchsorted(cols, qs, right: bool, n: int):
     return lo
 
 
+def _use_pallas_block(config: SimConfig) -> bool:
+    return (config.collision_backend == "pallas"
+            or (config.collision_backend == "auto"
+                and jax.default_backend() == "tpu")
+            or config.pallas_interpret)
+
+
+def _effective_block_size(config: SimConfig) -> int:
+    """The Pallas kernel's zero-padding IO layout fixes the block size at
+    1024 targets (kernels/collide_block._T_PALLAS); the XLA stage honours
+    the config knob."""
+    if _use_pallas_block(config):
+        from nbodysim_tpu.kernels.collide_block import _T_PALLAS
+
+        return _T_PALLAS
+    return config.collision_block_size
+
+
 def _block_structure(pos, radius, config: SimConfig):
     """Shared prologue of the block pass and its occupancy diagnostic:
     big-body extraction, cell assignment, lex sort, per-block neighbor
     windows, and block coverage flags."""
     n, dim = pos.shape
-    t_blk = config.collision_block_size
-    n_pad = (-n) % t_blk
-    n_tot = n + n_pad
-    nb = n_tot // t_blk
+    t_blk = _effective_block_size(config)
+    w_len = 2 * t_blk + 2 * 256
+    # Pad to whole blocks AND to at least one full gather window: with
+    # n_tot < w_len the clamped window gathers would duplicate real rows
+    # under stale row labels, double-counting pairs in the (span-mask-free)
+    # Pallas stage. Sentinel-key padding rows are inert instead.
+    nb = max(-(-n // t_blk), -(-w_len // t_blk))
+    n_tot = nb * t_blk
+    n_pad = n_tot - n
 
     # Big-body extraction: identical policy to _grid_pass (radius-scaled
     # cell floor keeps at most 64 bodies beyond the cell reach).
@@ -504,17 +527,16 @@ def _block_structure(pos, radius, config: SimConfig):
     w_lo = jnp.stack(w_lo, axis=1)                       # [nb, n_off]
     w_hi = jnp.stack(w_hi, axis=1)
 
-    # 128-aligned gather windows of static length; a block is "covered"
-    # when every offset's true span fits its window.
-    w_len = 2 * t_blk + 256
-    start_blk = jnp.clip(w_lo // 128, 0,
-                         max(0, (n_tot // 128) - (w_len // 128)))
-    ok_blk = jnp.all(w_hi - start_blk * 128 <= w_len, axis=1)   # [nb]
+    # Tile-aligned gather windows of static length (w_len set above); a
+    # block is "covered" when every offset's true span fits its window.
+    align = 256
+    start_row = jnp.clip((w_lo // align) * align, 0, n_tot - w_len)
+    ok_blk = jnp.all(w_hi - start_row <= w_len, axis=1)         # [nb]
 
     return dict(n=n, dim=dim, t_blk=t_blk, n_pad=n_pad, n_tot=n_tot,
                 nb=nb, order=order, cell=cell, cell_size=cell_size,
                 is_big=is_big, big_sel=big_sel, top_i=top_i,
-                w_lo=w_lo, w_hi=w_hi, start_blk=start_blk, ok_blk=ok_blk,
+                w_lo=w_lo, w_hi=w_hi, start_row=start_row, ok_blk=ok_blk,
                 w_len=w_len, n_off=len(lead_offs), lead_offs=lead_offs)
 
 
@@ -584,14 +606,14 @@ def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
               + key_cols)
     okf = padded(ok_p.astype(pos.dtype))
 
-    row_ids = (s["start_blk"][:, :, None]
+    row_ids = ((s["start_row"] // 128)[:, :, None]
                + jnp.arange(w_len // 128, dtype=jnp.int32)[None, None, :])
 
     def gather_windows(a):
         g = a.reshape(n_tot // 128, 128)[row_ids]   # [nb, n_off, WB, 128]
         return g.reshape(nb, n_off, w_len)
 
-    src_rows = (s["start_blk"][:, :, None] * 128
+    src_rows = (s["start_row"][:, :, None]
                 + jnp.arange(w_len, dtype=jnp.int32)[None, None, :])
     in_span = ((src_rows >= s["w_lo"][:, :, None])
                & (src_rows < s["w_hi"][:, :, None]))
@@ -646,6 +668,21 @@ def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
             acc_dv = acc_dv + jnp.sum(dv, axis=2)
         return acc_dp, acc_dv
 
+    if _use_pallas_block(config):
+        from nbodysim_tpu.kernels.collide_block import (
+            block_collision_deltas)
+
+        f32_fields = tuple(planes[: 2 * dim + 2]) + (okf,)
+        dp_s, dv_s = block_collision_deltas(
+            f32_fields, tuple(key_cols),
+            tuple(gather_windows(p) for p in f32_fields),
+            tuple(gather_windows(k) for k in key_cols),
+            src_rows,
+            impulse=impulse,
+            interpret=config.pallas_interpret)
+        return _block_corrections(
+            state, s, dp_s[:n], dv_s[:n], ok_p, config)
+
     tgt_planes = tuple(p.reshape(nb, t_blk) for p in planes)
     win_planes = tuple(gather_windows(p) for p in planes + [okf])
     okt = (okf.reshape(nb, t_blk) > 0)
@@ -667,6 +704,23 @@ def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
         dp_s = dp_s.reshape(n_tot, dim)[:n]
         dv_s = dv_s.reshape(n_tot, dim)[:n]
 
+    return _block_corrections(state, s, dp_s, dv_s, ok_p, config)
+
+
+def _block_corrections(state: ParticleState, s: dict, dp_s, dv_s, ok_p,
+                       config: SimConfig) -> ParticleState:
+    """Shared tail of the block pass (XLA and Pallas dense stages): the
+    exact big-body/overflow corrections and the scatter back to original
+    order. dp_s/dv_s are the dense-stage deltas in sorted order, [n, D]."""
+    pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
+    n, dim = pos.shape
+    order, cell, is_big = s["order"], s["cell"], s["is_big"]
+    pos_s, vel_s = pos[order], vel[order]
+    mass_s, radius_s = mass[order], radius[order]
+    cell_s = cell[order]
+    big_s = is_big[order]
+    overflow = jnp.sum(~ok_p & ~big_s)
+
     inv = jnp.zeros_like(order).at[order].set(jnp.arange(n))
     top_i, big_sel = s["top_i"], s["big_sel"]
     big_src = (pos[top_i], vel[top_i],
@@ -675,7 +729,7 @@ def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     dp_s, dv_s = _exact_corrections(
         dp_s, dv_s, (pos_s, vel_s, mass_s, radius_s, cell_s),
         ok_p, big_s, big_src, big_sel, inv[top_i], overflow,
-        impulse, dim)
+        config.collision_impulse, dim)
 
     return state.replace(pos=pos + dp_s[inv], vel=vel + dv_s[inv])
 

@@ -47,6 +47,49 @@ def main():
 
     if stage == "full":
         fn = lambda s: C._grid_pass(s, cfg).pos          # noqa: E731
+    elif stage == "blockstages":
+        # Time the block pass's stages separately: structure+sort,
+        # window gathers, Pallas dense kernel, corrections.
+        bcfg = cfg.replace(collision_broad_phase="block")
+        import nbodysim_tpu.kernels.collide_block as CB
+
+        def run(tag, f, *args):
+            g = jax.jit(f)
+            t0 = time.time()
+            out = jax.tree.map(np.asarray, g(*args))
+            print(f"{tag}: compile+warm {time.time() - t0:.1f}s",
+                  flush=True)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.tree.map(np.asarray, g(*args))
+                best = min(best, time.perf_counter() - t0)
+            print(f"{tag}: lap {best:.3f}s", flush=True)
+            return out
+
+        def structure(pos, radius):
+            s = C._block_structure(pos, radius, bcfg)
+            return (s["order"], s["start_row"], s["ok_blk"], s["w_lo"],
+                    s["w_hi"])
+
+        run("structure+sort", structure, state.pos, state.radius)
+
+        def dense(pos, vel, mass, radius):
+            st = C.ParticleState.create(pos=pos, vel=vel, mass=mass,
+                                        radius=radius)
+            out = C._block_pass(st, bcfg)
+            return jnp.sum(out.pos)
+
+        orig = C._exact_corrections
+        C._exact_corrections = lambda dp, dv, *a, **k: (dp, dv)
+        try:
+            run("sort+gathers+kernel (no corrections)", dense,
+                state.pos, state.vel, state.mass, state.radius)
+        finally:
+            C._exact_corrections = orig
+        run("full block pass", dense, state.pos, state.vel, state.mass,
+            state.radius)
+        return
     elif stage == "blockpass":
         bcfg = cfg.replace(collision_broad_phase="block")
         over = C.collision_block_overflow(state, bcfg)

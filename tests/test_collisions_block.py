@@ -102,7 +102,7 @@ def test_block_overflow_residual_conserves_momentum(monkeypatch):
     mass = jax.random.uniform(k[2], (n,), jnp.float32, 0.5, 2.0)
     radius = jnp.full((n,), 1.0)
     st = ParticleState.create(pos, vel, mass, radius)
-    cfg = _cfg(n, collision_block_size=128)
+    cfg = _cfg(n, collision_block_size=256)
     over = collision_block_overflow(st, cfg)
     assert over > 32            # the residual cap really is exceeded
     out = _block_pass(st, cfg)
@@ -114,13 +114,13 @@ def test_block_overflow_residual_conserves_momentum(monkeypatch):
 
 
 def test_block_overflow_diagnostic():
-    n = 1024
+    n = 2048
     spread = _random_state(n, 2, seed=5, span=500.0, big=False)
-    cfg = _cfg(n, collision_block_size=128)   # window = 512 rows
+    cfg = _cfg(n, collision_block_size=256)   # window = 1024 rows
     assert collision_block_overflow(spread, cfg) == 0
     # Everything at one point: every block's true span is the whole array
-    # (1024 rows), past the 512-row window -> every small uncovered (up to
-    # 64 of the largest radii leave the grid as extracted bigs).
+    # (2048 rows), past the 1024-row window -> every small uncovered (up
+    # to 64 of the largest radii leave the grid as extracted bigs).
     point = spread.replace(pos=jnp.zeros_like(spread.pos))
     assert collision_block_overflow(point, cfg) >= n - 64
 
@@ -143,3 +143,22 @@ def test_resolve_collisions_block_dispatch():
 def test_block_size_validation():
     with pytest.raises(ValueError):
         SimConfig(n=8, collision_block_size=100)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_block_pallas_kernel_matches_xla(dim):
+    """kernels/collide_block.py (interpret mode) against the XLA dense
+    stage: identical masks and narrow phase, so results agree to f32
+    summation order."""
+    n = 2048
+    st = _random_state(n, dim, seed=13)
+    cfg = _cfg(n, dim)
+    out_x = _block_pass(st, cfg)                      # CPU -> XLA stage
+    out_p = _block_pass(st, cfg.replace(pallas_interpret=True))
+    scale = max(float(jnp.abs(out_x.vel).max()), 1.0)
+    np.testing.assert_allclose(np.asarray(out_p.pos), np.asarray(out_x.pos),
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(out_p.vel), np.asarray(out_x.vel),
+                               atol=1e-5 * scale)
+    # And real overlaps were resolved (not a trivially-empty comparison).
+    assert float(jnp.abs(out_x.vel - st.vel).max()) > 1e-3
