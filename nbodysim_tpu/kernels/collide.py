@@ -241,3 +241,172 @@ def allpairs_collision_deltas(
     )(tpos, tvel, tmass, trad, sposT, svelT, smass, srad)
 
     return dpos[:n][inv_order], dvel[:n][inv_order]
+
+
+# ---------------------------------------------------------------------------
+# Rectangular pair-correction kernel (the broad phases' exact residual)
+# ---------------------------------------------------------------------------
+
+def _rect_kernel(
+    tgt_ref,      # [BT, 16]  packed targets: pos D, vel D, m, r, cell D
+    srcT_ref,     # [16, BS]  packed sources, field-major
+    out_ref,      # [BT, 8]   packed (dpos D, dvel D) accum, revisited
+    *,
+    dim: int,
+    impulse: float,
+    max_cheb,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    tgt = tgt_ref[:]
+    src = srcT_ref[:]
+    bt, bs = tgt.shape[0], src.shape[1]
+
+    tm = tgt[:, 2 * dim: 2 * dim + 1]
+    sm = src[2 * dim: 2 * dim + 1, :]
+    valid = (sm > 0.0) & (tm > 0.0)
+    if max_cheb is not None:
+        cheb = jnp.zeros((bt, bs), jnp.float32)
+        for a in range(dim):
+            ca = 2 * dim + 2 + a
+            cheb = jnp.maximum(
+                cheb, jnp.abs(src[ca: ca + 1, :] - tgt[:, ca: ca + 1]))
+        valid = valid & (cheb <= max_cheb + 0.5)
+
+    ds = []
+    d_sq = jnp.zeros((bt, bs), jnp.float32)
+    for d in range(dim):
+        dd = src[d: d + 1, :] - tgt[:, d: d + 1]
+        ds.append(dd)
+        d_sq = d_sq + dd * dd
+    tr = tgt[:, 2 * dim + 1: 2 * dim + 2]
+    r = tr + src[2 * dim + 1: 2 * dim + 2, :]
+    r_sq = r * r
+    overlap = (d_sq <= r_sq) & valid
+
+    # Overlaps are sparse; tiles with none skip the branch entirely.
+    @pl.when(jnp.any(overlap))
+    def _resolve():
+        vs = []
+        d_dot_v = jnp.zeros((bt, bs), jnp.float32)
+        v_sq = jnp.zeros((bt, bs), jnp.float32)
+        for d in range(dim):
+            vv = src[dim + d: dim + d + 1, :] - tgt[:, dim + d: dim + d + 1]
+            vs.append(vv)
+            d_dot_v = d_dot_v + ds[d] * vv
+            v_sq = v_sq + vv * vv
+
+        msum = tm + sm
+        ok_m = overlap & (msum > 0.0)
+        w1 = sm / jnp.where(msum > 0.0, msum, 1.0)
+
+        separating = ok_m & (d_dot_v >= 0.0) & (d_sq > 0.0)
+        approaching = ok_m & (d_dot_v < 0.0)
+
+        inv_dist = lax.rsqrt(jnp.where(d_sq > 0.0, d_sq, 1.0))
+        coef_sep = (r * inv_dist - 1.0) * w1
+
+        safe_v_sq = jnp.where(v_sq > 0.0, v_sq, 1.0)
+        disc = jnp.maximum(d_dot_v * d_dot_v - v_sq * (d_sq - r_sq), 0.0)
+        t = (d_dot_v + jnp.sqrt(disc)) / safe_v_sq
+        d_new_sq = jnp.zeros((bt, bs), jnp.float32)
+        dnv = jnp.zeros((bt, bs), jnp.float32)
+        dns = []
+        for d in range(dim):
+            dn = ds[d] - vs[d] * t
+            dns.append(dn)
+            d_new_sq = d_new_sq + dn * dn
+            dnv = dnv + dn * vs[d]
+        safe_dn_sq = jnp.where(d_new_sq > 0.0, d_new_sq, 1.0)
+        scale = (impulse * dnv / safe_dn_sq) * w1
+
+        zero = jnp.zeros((bt, bs), jnp.float32)
+        cols = []
+        for d in range(dim):
+            dvel_imp = dns[d] * scale
+            dpos_d = jnp.where(
+                separating, -ds[d] * coef_sep,
+                jnp.where(approaching, dvel_imp * t, zero))
+            dvel_d = jnp.where(approaching, dvel_imp, zero)
+            cols.append(jnp.sum(dpos_d, axis=1, keepdims=True))
+            cols.append(jnp.sum(dvel_d, axis=1, keepdims=True))
+        pad = jnp.zeros((bt, 8 - 2 * dim), jnp.float32)
+        out_ref[:] += jnp.concatenate(
+            [c for c in cols[::2]] + [c for c in cols[1::2]] + [pad],
+            axis=1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("dim", "impulse", "max_cheb", "interpret"),
+)
+def rect_pair_deltas(
+    tgt,             # (pos [n,D], vel, mass [n], radius [n], cell [n,D])
+    src,             # same, [m]-sized
+    *,
+    dim: int,
+    impulse: float,
+    max_cheb=1,
+    interpret: bool = False,
+):
+    """Pallas form of physics/collisions._cheb_pair_deltas_blocked: exact
+    masked pair deltas of TARGETS against a (much smaller) source set —
+    the broad phases' overflow residual is everyone(N) x cap(16k), which
+    the blocked-XLA form walks at ~2e10 pair-slots/s (7.7 s at the
+    N=4M flagship, r4) vs ~9e10 for this tile pipeline. IO rides packed
+    in 16 lanes per particle ([N, 16] pads 8x under TPU tiling — the
+    per-field [N, 1]/[N, D] operand forms pad 64-128x and OOM HBM at 4M).
+    Returns (dpos, dvel), [n, D] each, target side only."""
+    tp, tv, tm, tr, tc = tgt
+    sp, sv, sm, sr, sc = src
+    n = tp.shape[0]
+    m = sp.shape[0]
+    f32 = jnp.float32
+
+    bt, bs = 256, 1024
+    n_p = _cdiv(n, bt) * bt
+    m_p = _cdiv(m, bs) * bs
+
+    def pack(p, v, ms, rd, c, rows):
+        cols = ([p[:, d] for d in range(dim)]
+                + [v[:, d] for d in range(dim)]
+                + [ms, rd]
+                + [c[:, d].astype(f32) for d in range(dim)])
+        cols += [jnp.zeros_like(ms)] * (16 - len(cols))
+        out = jnp.stack([x.astype(f32) for x in cols], axis=0)  # [16, n]
+        return jnp.pad(out, ((0, 0), (0, rows - out.shape[1])))
+
+    tgt_packed = pack(tp, tv, tm, tr, tc, n_p).T          # [n_p, 16]
+    src_packed = pack(sp, sv, sm, sr, sc, m_p)            # [16, m_p]
+
+    kernel = functools.partial(
+        _rect_kernel, dim=dim, impulse=float(impulse),
+        max_cheb=None if max_cheb is None else float(max_cheb))
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_p // bt, m_p // bs),
+        in_specs=[
+            pl.BlockSpec((bt, 16), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, bs), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, 8), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_p, 8), f32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=(30 + 8 * dim) * n_p * m_p,
+            bytes_accessed=(n_p + m_p) * 16 * 4 + n_p * 8 * 4,
+            transcendentals=2 * n_p * m_p,
+        ),
+        interpret=interpret,
+    )(tgt_packed, src_packed)
+    return out[:n, :dim], out[:n, dim:2 * dim]

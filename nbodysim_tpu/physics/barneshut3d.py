@@ -524,22 +524,30 @@ def _m2l_conv3(gxt, corner, size, r_full: int, eps_sq, radius: int,
     dtype = gxt[0].dtype
 
     ch = _center_channels3(gxt, corner, size, r_full, row0 - 2 * qh)
-    # Space-to-depth via per-channel parity slices. Stack on axis 0, NOT
-    # the lane axis: a stack(axis=-1) materializes 80 width-1 lane-minor
-    # concat operands, each padded 128x under T(8,128) tiling — measured
-    # 450 MB per [8,50,48,48,1] remat copy in the r3/r4 clustered-1M HBM
-    # OOM (bench3d_clustered.log; the former [X/2,2,h,2,h,2,10]
-    # reshape/transpose OOMed the same way at 51x). Axis-0 operands
-    # [1, X/2, h, h] pad only on the (h, h) tile minors; the single
-    # transpose to channel-minor materializes m8 once at its conv layout.
-    # Lane order (4a+2b+d)*10 + c matches _m2l_conv_taps' child
-    # enumeration.
-    m8 = jnp.stack(
-        [ch[c][a::2, b::2, d::2]
+    # Space-to-depth via per-channel parity slices, landed channel-minor
+    # by an IDENTITY MXU CONTRACTION. Every direct formulation OOMed
+    # 16 GB HBM at the clustered-1M deep levels (r3/r4): stack(axis=-1)
+    # materializes 80 width-1 lane-minor concat operands at 128x tile
+    # padding (450 MB per [8,50,48,48,1] remat copy); the one-shot
+    # [X/2,2,h,2,h,2,10] reshape/transpose padded 51x; and a
+    # stack(axis=0) + transpose still OOMed under vmap — XLA's layout
+    # assignment propagates the conv's channel-minor layout UP through
+    # the concat, re-minoring the size-1 stack axis. Flattened 1-D slice
+    # operands give the stack no small dim to re-minor, and layouts do
+    # not propagate through a dot: contracting against eye(80) lands m8
+    # directly in the conv's NDHWC layout. HIGHEST keeps the identity
+    # matmul at f32-equivalent precision (~1e-7 — far below even the
+    # shallow levels' needs). Lane order (4a+2b+d)*10 + c matches
+    # _m2l_conv_taps' child enumeration.
+    flat = jnp.stack(
+        [ch[c][a::2, b::2, d::2].reshape(-1)
          for a in (0, 1) for b in (0, 1) for d in (0, 1)
-         for c in range(10)], axis=0)                  # [80, X/2, h, h]
-    m8 = jnp.pad(m8, ((0, 0), (0, 0), (qh, qh), (qh, qh)))
-    m8 = m8.transpose(1, 2, 3, 0)                      # [X/2, h', h', 80]
+         for c in range(10)], axis=0)                  # [80, X/2*h*h]
+    m8 = lax.dot_general(
+        flat, jnp.eye(80, dtype=dtype), (((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST)               # [X/2*h*h, 80]
+    m8 = m8.reshape(hb + 2 * qh, h, h, 80)
+    m8 = jnp.pad(m8, ((0, 0), (qh, qh), (qh, qh), (0, 0)))
     s_l = size / r_full
     W = _m2l_conv_weights3(R, Rp, eps_sq / (s_l * s_l), dtype)
 

@@ -165,12 +165,24 @@ def _cell_hash(cell: jax.Array, n_buckets: int) -> jax.Array:
 
 
 def _cheb_pair_deltas_blocked(tgt, src, dim: int, impulse: float,
-                              max_cheb: int = 1):
+                              max_cheb: int = 1, use_pallas: bool = False,
+                              interpret: bool = False):
     """Exact pair deltas between two particle sets, masked to cell
     Chebyshev distance <= max_cheb, blocked over BOTH axes. tgt/src are
     (pos, vel, mass, radius, cell) tuples; zero-mass rows are inert.
-    Shared by the 3D grid pass's big-body and overflow corrections."""
+    Shared by the broad phases' big-body and overflow corrections. Large
+    rectangles route to the Pallas tile kernel (kernels/collide.py
+    rect_pair_deltas, ~4.5x the blocked-XLA slot rate; below ~2k sources
+    the kernel's 1024-wide source padding would do MORE work than XLA's
+    exact-width blocks)."""
     from nbodysim_tpu.core.blocking import pairwise_blocked
+
+    n_t, n_s = tgt[0].shape[0], src[0].shape[0]
+    if use_pallas and n_s >= 2048 and n_t * n_s >= (1 << 28):
+        from nbodysim_tpu.kernels.collide import rect_pair_deltas
+
+        return rect_pair_deltas(tgt, src, dim=dim, impulse=impulse,
+                                max_cheb=max_cheb, interpret=interpret)
 
     def kernel(tgt_blk, src_blk):
         tp, tv, tm, tr, tc = tgt_blk
@@ -343,7 +355,9 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     dpos_s, dvel_s = _exact_corrections(
         dpos_s, dvel_s, (pos_s, vel_s, mass_s, radius_s, cell_s),
         in_win, big_s, big_src, big_sel, inv[top_i], overflow,
-        config.collision_impulse, dim)
+        config.collision_impulse, dim,
+        use_pallas=_use_pallas_block(config),
+        interpret=config.pallas_interpret)
 
     # Scatter back to original order.
     return state.replace(pos=pos + dpos_s[inv], vel=vel + dvel_s[inv])
@@ -351,7 +365,8 @@ def _grid_pass(state: ParticleState, config: SimConfig) -> ParticleState:
 
 def _exact_corrections(dpos_s, dvel_s, sorted_fields, in_cover, big_s,
                        big_src, big_sel, top_sorted, overflow,
-                       impulse: float, dim: int):
+                       impulse: float, dim: int,
+                       use_pallas: bool = False, interpret: bool = False):
     """Big-body + overflow-residual exact passes, shared by the hash and
     block broad phases. `sorted_fields` = (pos, vel, mass, radius, cell)
     in broad-phase sorted order; `in_cover` marks sorted-order smalls the
@@ -395,14 +410,18 @@ def _exact_corrections(dpos_s, dvel_s, sorted_fields, in_cover, big_s,
         # momentum every step — beyond-capacity pairs drop SYMMETRICALLY
         # instead (r3 review).
         sel_over = jnp.zeros((n,), bool).at[o_idx].set(o_valid)
-        dp_b, dv_b = _cheb_pair_deltas_blocked(everyone, o, dim, impulse)
+        dp_b, dv_b = _cheb_pair_deltas_blocked(
+            everyone, o, dim, impulse, use_pallas=use_pallas,
+            interpret=interpret)
         tgt_ok = (~big_s & (in_cover | sel_over))[:, None]
         dpos_s = dpos_s + jnp.where(tgt_ok, dp_b, 0.0)
         dvel_s = dvel_s + jnp.where(tgt_ok, dv_b, 0.0)
         # (c): overflow targets <- covered sources (cheb <= 1).
         cover_src = (pos_s, vel_s, jnp.where(in_cover, mass_s, 0.0),
                      radius_s, cell_s)
-        dp_c, dv_c = _cheb_pair_deltas_blocked(o, cover_src, dim, impulse)
+        dp_c, dv_c = _cheb_pair_deltas_blocked(
+            o, cover_src, dim, impulse, use_pallas=use_pallas,
+            interpret=interpret)
         dpos_s = dpos_s.at[o_idx].add(jnp.where(o_valid[:, None], dp_c, 0.0))
         dvel_s = dvel_s.at[o_idx].add(jnp.where(o_valid[:, None], dv_c, 0.0))
         return dpos_s, dvel_s
@@ -729,7 +748,9 @@ def _block_corrections(state: ParticleState, s: dict, dp_s, dv_s, ok_p,
     dp_s, dv_s = _exact_corrections(
         dp_s, dv_s, (pos_s, vel_s, mass_s, radius_s, cell_s),
         ok_p, big_s, big_src, big_sel, inv[top_i], overflow,
-        config.collision_impulse, dim)
+        config.collision_impulse, dim,
+        use_pallas=_use_pallas_block(config),
+        interpret=config.pallas_interpret)
 
     return state.replace(pos=pos + dp_s[inv], vel=vel + dv_s[inv])
 

@@ -146,6 +146,38 @@ def test_block_size_validation():
 
 
 @pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("max_cheb", [1, None])
+def test_rect_pair_kernel_matches_blocked_xla(dim, max_cheb):
+    """kernels/collide.rect_pair_deltas (interpret) vs the blocked-XLA
+    _cheb_pair_deltas_blocked it replaces on large residual rectangles."""
+    from nbodysim_tpu.kernels.collide import rect_pair_deltas
+    from nbodysim_tpu.physics.collisions import _cheb_pair_deltas_blocked
+
+    k = jax.random.split(jax.random.PRNGKey(17), 5)
+    n, m = 1024, 512
+    pos = jax.random.uniform(k[0], (n, dim), jnp.float32, -30.0, 30.0)
+    vel = jax.random.uniform(k[1], (n, dim), jnp.float32, -5.0, 5.0)
+    mass = jax.random.uniform(k[2], (n,), jnp.float32, 0.5, 2.0)
+    radius = jax.random.uniform(k[3], (n,), jnp.float32, 0.8, 1.6)
+    cell = jnp.floor(pos / 3.0).astype(jnp.int32)
+    # Some zero-mass (inert) rows on both sides, like the real residual.
+    mass = mass.at[::7].set(0.0)
+    tgt = (pos, vel, mass, radius, cell)
+    sel = jax.random.permutation(k[4], n)[:m]
+    src = tuple(a[sel] for a in tgt)
+
+    dp_x, dv_x = _cheb_pair_deltas_blocked(
+        tgt, src, dim, 1.5, max_cheb=max_cheb)
+    dp_p, dv_p = rect_pair_deltas(
+        tgt, src, dim=dim, impulse=1.5, max_cheb=max_cheb, interpret=True)
+    np.testing.assert_allclose(np.asarray(dp_p), np.asarray(dp_x),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_x),
+                               atol=1e-5, rtol=1e-5)
+    assert float(jnp.abs(dv_x).max()) > 1e-3   # non-trivial comparison
+
+
+@pytest.mark.parametrize("dim", [2, 3])
 def test_block_pallas_kernel_matches_xla(dim):
     """kernels/collide_block.py (interpret mode) against the XLA dense
     stage: identical masks and narrow phase, so results agree to f32
