@@ -58,7 +58,7 @@ def main():
         np.asarray(f(state))
         best = min(best, time.perf_counter() - t0)
     per = best / REPS
-    print(json.dumps({"metric": "collision pass s/step at N=4M (hash)",
+    print(json.dumps({"metric": "collision pass s/step at N=4M (block)",
                       "value": per, "unit": "s",
                       "vs_baseline": None}), flush=True)
 
