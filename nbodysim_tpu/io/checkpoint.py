@@ -82,3 +82,19 @@ def load_checkpoint(
             names = {f.name for f in dataclasses.fields(SimConfig)}
             config = SimConfig(**{k: v for k, v in cfg.items() if k in names})
     return state, config
+
+
+def load_checkpoint_sharded(path: str, mesh, axis_name: str = "shards"):
+    """Load a checkpoint and place the state across `mesh`'s particle axis.
+
+    Checkpoints are mesh-agnostic: `save_checkpoint` gathers sharded
+    arrays to host .npz via np.asarray, so a state saved from one mesh
+    restores onto ANY mesh whose size divides N — same-mesh resume is
+    bitwise identical to uninterrupted stepping, cross-mesh resume
+    matches to collective-reduction roundoff (tests/test_sharding.py).
+    The reference keeps all state process-local with no serialization
+    at all (SURVEY.md §5)."""
+    from nbodysim_tpu.parallel.sharded import shard_state
+
+    state, config = load_checkpoint(path)
+    return shard_state(state, mesh, axis_name), config

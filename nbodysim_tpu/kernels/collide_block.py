@@ -55,12 +55,11 @@ def _block_collide_kernel(
     nf = 2 * dim + 3             # pos D, vel D, mass, radius, ok
     tf = refs[:nf]               # [1, 8, 128] f32 target fields
     tk = refs[nf:nf + dim]       # [1, 8, 128] int32 target keys
-    sf = refs[nf + dim:2 * nf + dim]          # [1, R, 128] f32 windows
-    sk = refs[2 * nf + dim:2 * (nf + dim)]    # [1, R, 128] int32
-    srow_ref = refs[2 * (nf + dim)]           # [1, R, 128] int32
-    outs = refs[2 * (nf + dim) + 1:]          # 2*dim x [1, 8, 128] f32
-
-    i = pl.program_id(0)
+    trow_ref = refs[nf + dim]    # [1, 8, 128] int32 GLOBAL target rows
+    sf = refs[nf + dim + 1:2 * nf + dim + 1]      # [1, R, 128] f32 windows
+    sk = refs[2 * nf + dim + 1:2 * (nf + dim) + 1]  # [1, R, 128] int32
+    srow_ref = refs[2 * (nf + dim) + 1]           # [1, R, 128] int32
+    outs = refs[2 * (nf + dim) + 2:]          # 2*dim x [1, 8, 128] f32
 
     # Pair geometry (no transposes — Mosaic rejects tile shape casts):
     # targets stay in their natural [8, 128] sublane tile, broadcast to
@@ -70,10 +69,10 @@ def _block_collide_kernel(
     def tcol(ref):               # [8, 128, 1]
         return ref[0][:, :, None]
 
-    # Global row of target (rt, l) in this block: i*T + rt*128 + l.
-    trow = (i * _T_PALLAS
-            + 128 * lax.broadcasted_iota(jnp.int32, (8, 128, 1), 0)
-            + lax.broadcasted_iota(jnp.int32, (8, 128, 1), 1))
+    # Global sorted row of each target arrives as an input plane (NOT
+    # program_id * T: the banded multi-chip pass hands each device a
+    # block band whose global offset the grid index cannot see).
+    trow = tcol(trow_ref)
 
     tks = [tcol(tk[a]) for a in range(dim)]
     tps = [tcol(tf[d]) for d in range(dim)]
@@ -174,14 +173,17 @@ def _block_collide_kernel(
 
 
 def block_collision_deltas(
-    planes_t,        # tuple: D pos, D vel, mass, radius, ok — [n_tot] f32
-    keys_t,          # tuple of D int32 [n_tot] sorted cell keys
+    planes_t,        # tuple: D pos, D vel, mass, radius, ok — [n_loc] f32
+    keys_t,          # tuple of D int32 [n_loc] sorted cell keys
     win_planes,      # tuple matching planes_t — [nb, n_off, W] f32
     win_keys,        # tuple of D int32 [nb, n_off, W]
     win_rows,        # [nb, n_off, W] int32 gathered global rows
     *,
     impulse: float,
     interpret: bool = False,
+    tgt_rows=None,   # [n_loc] int32 global sorted rows of the targets
+                     # (default arange: targets are the whole array; the
+                     # banded pass passes its block band's true rows)
 ):
     """Dense-stage deltas of the block pass, sorted order: ([n,D], [n,D]).
     Requires collision_block_size == _T_PALLAS (the pass enforces it)."""
@@ -191,7 +193,10 @@ def block_collision_deltas(
     assert n_tot == nb * _T_PALLAS and w_len % _BS == 0
     f32 = jnp.float32
 
-    t3 = [p.reshape(nb, 8, 128) for p in planes_t + keys_t]
+    if tgt_rows is None:
+        tgt_rows = jnp.arange(n_tot, dtype=jnp.int32)
+    t3 = [p.reshape(nb, 8, 128)
+          for p in planes_t + keys_t + (tgt_rows,)]
     wrows = n_off * w_len // 128
     w3 = [p.reshape(nb, wrows, 128)
           for p in win_planes + win_keys + (win_rows,)]

@@ -128,13 +128,6 @@ def sharded_collision_deltas(
             bp = "bucket" if dim == 2 else "block"
     if bp == "bucket" and dim != 2:
         bp = "block"
-    if bp == "block":
-        # The lex-sorted block pass (physics/collisions._block_pass) has
-        # no banded decomposition yet; the banded hash resolves the same
-        # radius-scaled-cell physics across the mesh (hash window caps vs
-        # block coverage caps differ only in WHICH rare overflow pairs
-        # take the exact residual).
-        bp = "hash"
     if bp == "dense":
         return gathered_dense_deltas(
             pos_l, vel_l, mass_l, radius_l, config, axis_name)
@@ -151,14 +144,17 @@ def sharded_collision_deltas(
         # pass replicated and slice — correct, not compute-scaled.
         return _replicated_fallback(
             pos, vel, mass, radius, config, "bucket", my, n_l)
-    if bp == "hash" and p_dev == 1:
+    if bp in ("hash", "block") and p_dev == 1:
         return _replicated_fallback(
-            pos, vel, mass, radius, config, "hash", my, n_l)
+            pos, vel, mass, radius, config, bp, my, n_l)
 
     if bp == "bucket":
         return _banded_bucket_deltas(
             pos, vel, mass, radius, pos_l, vel_l, mass_l, radius_l,
             config, axis_name, my, n_l)
+    if bp == "block":
+        return _banded_block_deltas(
+            pos, vel, mass, radius, config, axis_name, my, n_l)
     return _banded_hash_deltas(
         pos, vel, mass, radius, pos_l, vel_l, mass_l, radius_l,
         config, axis_name, my, n_l)
@@ -168,12 +164,95 @@ def _replicated_fallback(pos, vel, mass, radius, config, bp, my, n_l):
     """Run the single-chip pass on the gathered arrays (replicated on every
     device) and slice the local deltas."""
     from nbodysim_tpu.core.state import ParticleState
-    from nbodysim_tpu.physics.collisions import _bucket_pass, _grid_pass
+    from nbodysim_tpu.physics.collisions import (
+        _block_pass, _bucket_pass, _grid_pass)
 
     st = ParticleState(pos=pos, vel=vel, acc=jnp.zeros_like(pos),
                        mass=mass, radius=radius,
                        frame=jnp.zeros((), jnp.int32))
-    out = (_bucket_pass if bp == "bucket" else _grid_pass)(st, config)
+    fn = {"bucket": _bucket_pass, "hash": _grid_pass,
+          "block": _block_pass}[bp]
+    out = fn(st, config)
+    dpos = lax.dynamic_slice_in_dim(out.pos - pos, my * n_l, n_l)
+    dvel = lax.dynamic_slice_in_dim(out.vel - vel, my * n_l, n_l)
+    return dpos, dvel
+
+
+# ---------------------------------------------------------------------------
+# Banded lex-sorted block pass (the flagship-scale broad phase)
+# ---------------------------------------------------------------------------
+
+def _banded_block_deltas(pos, vel, mass, radius, config: SimConfig,
+                         axis_name, my, n_l):
+    """Band the lex-sorted block pass (physics/collisions._block_pass)
+    across the mesh.
+
+    Prep — big-body extraction, ONE multi-key sort, per-block lex windows
+    (~30 ms of a 1.84 s pass at N=4M) — is replicated on the gathered
+    arrays. The dense window stage, the dominant cost, runs on a disjoint
+    band of ceil(nb/P) blocks per device; its window gathers read the
+    full replicated sorted planes, so a band computes EXACTLY the pairs
+    the single chip would for those targets. Per-device deltas scatter
+    into a sorted-order [N, D] buffer whose bands are disjoint, `psum`
+    combines them, and the capped exact corrections (bigs + overflow
+    residual) run replicated post-psum — so the banded pass matches
+    `_block_pass` to roundoff at any P (tests/test_collisions_banded.py).
+
+    Reference capability anchor: Simulation.hpp:216-346 (collide() every
+    step at any N), at multi-chip scale for the config-5 regime where the
+    bucket grid overflows."""
+    from nbodysim_tpu.core.state import ParticleState
+    from nbodysim_tpu.physics import collisions as C
+
+    n, dim = pos.shape
+    p_dev = lax.axis_size(axis_name)
+    s = C._block_structure(pos, radius, config)
+    planes, key_cols, okf, ok_p = C._block_planes(
+        pos, vel, mass, radius, s)
+
+    nb, t_blk = s["nb"], s["t_blk"]
+    nb_loc = -(-nb // p_dev)
+    pad_blocks = nb_loc * p_dev - nb
+    if pad_blocks:
+        # Pad the per-block tables and sorted planes to whole bands.
+        # Padding targets carry the strictly-last sentinel key and ok=0,
+        # so the dense stage's masks produce no pairs for them (their
+        # window tables point at row 0 with an empty span); padding rows
+        # are never gathered as sources (real windows were computed
+        # against the unpadded n_tot).
+        s = dict(s)
+        s["nb"] = nb + pad_blocks
+        s["n_tot"] = s["nb"] * t_blk
+        zpad = ((0, pad_blocks), (0, 0))
+        s["start_row"] = jnp.pad(s["start_row"], zpad)
+        s["w_lo"] = jnp.pad(s["w_lo"], zpad)
+        s["w_hi"] = jnp.pad(s["w_hi"], zpad)
+        rpad = (0, pad_blocks * t_blk)
+        planes = [jnp.pad(p, rpad, constant_values=C._CELL_SENTINEL + 1)
+                  if jnp.issubdtype(p.dtype, jnp.integer)
+                  else jnp.pad(p, rpad) for p in planes]
+        key_cols = [jnp.pad(k, rpad, constant_values=C._CELL_SENTINEL + 1)
+                    for k in key_cols]
+        okf = jnp.pad(okf, rpad)
+
+    blk0 = (my * nb_loc).astype(jnp.int32)
+    dp_loc, dv_loc = C._block_dense_deltas(
+        planes, key_cols, okf, s, config, blk0=blk0, nb_loc=nb_loc)
+
+    # Disjoint sorted-order assembly: rows >= n (sort padding / band
+    # padding) drop; every real row is written by exactly one device.
+    rows = blk0 * t_blk + jnp.arange(nb_loc * t_blk, dtype=jnp.int32)
+    dp_sorted = lax.psum(
+        jnp.zeros((n, dim), pos.dtype).at[rows].add(dp_loc, mode="drop"),
+        axis_name)
+    dv_sorted = lax.psum(
+        jnp.zeros((n, dim), pos.dtype).at[rows].add(dv_loc, mode="drop"),
+        axis_name)
+
+    st = ParticleState(pos=pos, vel=vel, acc=jnp.zeros_like(pos),
+                       mass=mass, radius=radius,
+                       frame=jnp.zeros((), jnp.int32))
+    out = C._block_corrections(st, s, dp_sorted, dv_sorted, ok_p, config)
     dpos = lax.dynamic_slice_in_dim(out.pos - pos, my * n_l, n_l)
     dvel = lax.dynamic_slice_in_dim(out.vel - vel, my * n_l, n_l)
     return dpos, dvel

@@ -589,10 +589,20 @@ def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     pos, vel, mass, radius = state.pos, state.vel, state.mass, state.radius
     n, dim = pos.shape
     s = _block_structure(pos, radius, config)
-    t_blk, nb, n_tot = s["t_blk"], s["nb"], s["n_tot"]
-    n_off, w_len = s["n_off"], s["w_len"]
-    order, is_big = s["order"], s["is_big"]
-    cell = s["cell"]
+    planes, key_cols, okf, ok_p = _block_planes(
+        pos, vel, mass, radius, s)
+    dp_s, dv_s = _block_dense_deltas(planes, key_cols, okf, s, config)
+    return _block_corrections(state, s, dp_s[:n], dv_s[:n], ok_p, config)
+
+
+def _block_planes(pos, vel, mass, radius, s):
+    """Sorted, padded field planes for the block pass's window gathers
+    (shared with the banded multi-chip pass). Keys carry the sentinel in
+    column 0 for bigs/padding so cell-match masks reject them without a
+    separate flag. Returns (planes, key_cols, okf, ok_p)."""
+    n, dim = pos.shape
+    t_blk = s["t_blk"]
+    order, is_big, cell = s["order"], s["is_big"], s["cell"]
 
     pos_s, vel_s = pos[order], vel[order]
     mass_s, radius_s = mass[order], radius[order]
@@ -603,7 +613,6 @@ def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
     # not big. Padding rows are inert (mass 0) and the pad block's
     # coverage flag is irrelevant to them.
     ok_p = jnp.repeat(s["ok_blk"], t_blk)[:n] & ~big_s
-    overflow = jnp.sum(~ok_p & ~big_s)
 
     def padded(a, fill=0.0):
         if s["n_pad"] == 0:
@@ -611,9 +620,6 @@ def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
         return jnp.pad(a, ((0, s["n_pad"]),) + ((0, 0),) * (a.ndim - 1),
                        constant_values=fill)
 
-    # Sorted, padded field planes for the window gathers. Keys carry the
-    # sentinel in column 0 for bigs/padding so cell-match masks reject
-    # them without a separate flag.
     key_cols = [padded(jnp.where(big_s, _CELL_SENTINEL, cell_s[:, 0]),
                        _CELL_SENTINEL + 1)]
     key_cols += [padded(cell_s[:, a], _CELL_SENTINEL + 1)
@@ -624,25 +630,56 @@ def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
                  padded(radius_s, fill=-1e9)]
               + key_cols)
     okf = padded(ok_p.astype(pos.dtype))
+    return planes, key_cols, okf, ok_p
 
-    row_ids = ((s["start_row"] // 128)[:, :, None]
+
+def _block_dense_deltas(planes, key_cols, okf, s, config,
+                        blk0=None, nb_loc=None):
+    """Dense window-stage deltas (sorted order) for a contiguous range of
+    blocks [blk0, blk0 + nb_loc). blk0 may be a TRACED scalar — the
+    banded multi-chip pass hands each device its own block band — while
+    nb_loc must be static. Returns (dp, dv), each [nb_loc * t_blk, D],
+    for target rows blk0*t_blk .. (blk0+nb_loc)*t_blk of the sorted
+    (padded) array. Window gathers read the FULL sorted planes, so a
+    band's pairs are identical to the single-chip pass's."""
+    t_blk, nb, n_tot = s["t_blk"], s["nb"], s["n_tot"]
+    n_off, w_len = s["n_off"], s["w_len"]
+    dim = s["dim"]
+    if blk0 is None:
+        blk0 = jnp.int32(0)
+    if nb_loc is None:
+        nb_loc = nb
+
+    def bslice(a):
+        return lax.dynamic_slice_in_dim(a, blk0, nb_loc, axis=0)
+
+    start_row = bslice(s["start_row"])                  # [nb_loc, n_off]
+    w_lo, w_hi = bslice(s["w_lo"]), bslice(s["w_hi"])
+
+    row_ids = ((start_row // 128)[:, :, None]
                + jnp.arange(w_len // 128, dtype=jnp.int32)[None, None, :])
 
     def gather_windows(a):
-        g = a.reshape(n_tot // 128, 128)[row_ids]   # [nb, n_off, WB, 128]
-        return g.reshape(nb, n_off, w_len)
+        g = a.reshape(n_tot // 128, 128)[row_ids]  # [nb_loc,n_off,WB,128]
+        return g.reshape(nb_loc, n_off, w_len)
 
-    src_rows = (s["start_row"][:, :, None]
+    src_rows = (start_row[:, :, None]
                 + jnp.arange(w_len, dtype=jnp.int32)[None, None, :])
-    in_span = ((src_rows >= s["w_lo"][:, :, None])
-               & (src_rows < s["w_hi"][:, :, None]))
+    in_span = ((src_rows >= w_lo[:, :, None])
+               & (src_rows < w_hi[:, :, None]))
 
-    tgt_rows = jnp.arange(n_tot, dtype=jnp.int32).reshape(nb, t_blk)
+    n_loc = nb_loc * t_blk
+    tgt_flat = blk0 * t_blk + jnp.arange(n_loc, dtype=jnp.int32)
+    tgt_rows = tgt_flat.reshape(nb_loc, t_blk)
+
+    def tslice(a):
+        return lax.dynamic_slice_in_dim(a, blk0 * t_blk, n_loc, axis=0)
+
     impulse = config.collision_impulse
 
     # Chunk blocks so the [CB, T, W] pair temps stay ~100s of MB.
     cb = max(1, (1 << 25) // (t_blk * w_len))
-    while nb % cb:
+    while nb_loc % cb:
         cb -= 1
 
     def chunk_fn(args):
@@ -692,38 +729,33 @@ def _block_pass(state: ParticleState, config: SimConfig) -> ParticleState:
             block_collision_deltas)
 
         f32_fields = tuple(planes[: 2 * dim + 2]) + (okf,)
-        dp_s, dv_s = block_collision_deltas(
-            f32_fields, tuple(key_cols),
+        return block_collision_deltas(
+            tuple(tslice(p) for p in f32_fields),
+            tuple(tslice(k) for k in key_cols),
             tuple(gather_windows(p) for p in f32_fields),
             tuple(gather_windows(k) for k in key_cols),
             src_rows,
             impulse=impulse,
-            interpret=config.pallas_interpret)
-        return _block_corrections(
-            state, s, dp_s[:n], dv_s[:n], ok_p, config)
+            interpret=config.pallas_interpret,
+            tgt_rows=tgt_flat)
 
-    tgt_planes = tuple(p.reshape(nb, t_blk) for p in planes)
+    tgt_planes = tuple(tslice(p).reshape(nb_loc, t_blk) for p in planes)
     win_planes = tuple(gather_windows(p) for p in planes + [okf])
-    okt = (okf.reshape(nb, t_blk) > 0)
+    okt = (tslice(okf).reshape(nb_loc, t_blk) > 0)
 
-    if nb > cb:
+    if nb_loc > cb:
         def prep(a):
-            return a.reshape(nb // cb, cb, *a.shape[1:])
+            return a.reshape(nb_loc // cb, cb, *a.shape[1:])
 
         dp_s, dv_s = lax.map(
             chunk_fn,
             (jax.tree.map(prep, tgt_planes),
              jax.tree.map(prep, win_planes),
              prep(in_span), prep(src_rows), prep(tgt_rows), prep(okt)))
-        dp_s = dp_s.reshape(n_tot, dim)[:n]
-        dv_s = dv_s.reshape(n_tot, dim)[:n]
     else:
         dp_s, dv_s = chunk_fn((tgt_planes, win_planes, in_span,
                                src_rows, tgt_rows, okt))
-        dp_s = dp_s.reshape(n_tot, dim)[:n]
-        dv_s = dv_s.reshape(n_tot, dim)[:n]
-
-    return _block_corrections(state, s, dp_s, dv_s, ok_p, config)
+    return dp_s.reshape(n_loc, dim), dv_s.reshape(n_loc, dim)
 
 
 def _block_corrections(state: ParticleState, s: dict, dp_s, dv_s, ok_p,

@@ -19,12 +19,14 @@ from nbodysim_tpu.core.state import ParticleState
 from nbodysim_tpu.parallel import make_mesh
 from nbodysim_tpu.parallel.collisions import sharded_collision_deltas
 from nbodysim_tpu.physics.collisions import (
+    _block_pass,
     _bucket_pass,
     _dense_pass,
     _grid_pass,
 )
 
-_SINGLE = {"bucket": _bucket_pass, "hash": _grid_pass, "dense": _dense_pass}
+_SINGLE = {"bucket": _bucket_pass, "hash": _grid_pass,
+           "dense": _dense_pass, "block": _block_pass}
 
 
 def _banded(state, cfg, n_dev=8):
@@ -197,6 +199,93 @@ def test_banded_hash_two_device_mesh(eight_devices):
     cfg = SimConfig(n=2048, dim=3, collision_broad_phase="hash",
                     collision_cell_size=0.0)
     _check(st, cfg, n_dev=2)
+
+
+# ---------------------------------------------------------------------
+# Lex-sorted block pass (disjoint block bands)
+# ---------------------------------------------------------------------
+
+def test_banded_block_2d_uniform_matches(eight_devices):
+    st = _overlapping(4096)
+    cfg = SimConfig(n=4096, collision_broad_phase="block",
+                    collision_cell_size=0.0)
+    _check(st, cfg, single="block")
+
+
+def test_banded_block_3d_matches(eight_devices):
+    st = _overlapping(4096, dim=3, r_lo=8.0, r_hi=30.0)
+    cfg = SimConfig(n=4096, dim=3, collision_broad_phase="block",
+                    collision_cell_size=0.0)
+    _check(st, cfg, single="block")
+
+
+def test_banded_block_big_body_matches(eight_devices):
+    st = _with_big(_overlapping(4096, seed=1))
+    cfg = SimConfig(n=4096, collision_broad_phase="block",
+                    collision_cell_size=0.0)
+    _check(st, cfg, single="block")
+
+
+def test_banded_block_clustered_matches(eight_devices):
+    """The config-5 composition: clustered scene, some blocks uncovered
+    (window span beyond the static gather window) taking the exact
+    residual — the banded pass must reproduce residual selection too."""
+    st = _clustered(4096, seed=2)
+    cfg = SimConfig(n=4096, collision_broad_phase="block",
+                    collision_cell_size=0.0)
+    _check(st, cfg, single="block", rtol=5e-5)
+
+
+def test_banded_block_two_device_mesh(eight_devices):
+    st = _overlapping(2048, seed=5)
+    cfg = SimConfig(n=2048, collision_broad_phase="block",
+                    collision_cell_size=0.0)
+    _check(st, cfg, n_dev=2, single="block")
+
+
+def test_banded_block_uneven_bands_match(eight_devices):
+    """nb not divisible by P: the band padding (sentinel keys, ok=0,
+    empty windows) must stay inert. n=4864 -> nb=19 blocks over 8
+    devices -> nb_loc=3, 5 pad blocks."""
+    st = _overlapping(4864, seed=11)
+    cfg = SimConfig(n=4864, collision_broad_phase="block",
+                    collision_cell_size=0.0)
+    _check(st, cfg, single="block")
+
+
+def test_banded_block_per_device_flops_drop_with_mesh_size(eight_devices):
+    """Strong-scaling evidence for the flagship collision path: the block
+    pass's dense window stage divides by P in XLA's compiled cost
+    analysis (same F_fixed + S/P fit as the bucket test; the replicated
+    sort/window prep and the once-counted lax.map chunk bodies form the
+    fixed floor)."""
+    n = 1 << 15
+    st = _overlapping(n, seed=22)
+    cfg = SimConfig(n=n, collision_broad_phase="block",
+                    collision_cell_size=0.0)
+
+    def banded_flops(n_dev):
+        mesh = make_mesh(n_dev)
+
+        def f(p, v, m, r):
+            return sharded_collision_deltas(p, v, m, r, cfg, "shards")
+
+        fn = jax.shard_map(f, mesh=mesh, in_specs=(P("shards"),) * 4,
+                           out_specs=(P("shards"), P("shards")),
+                           check_vma=False)
+        return _compiled_flops(fn, st.pos, st.vel, st.mass, st.radius)
+
+    f2, f4, f8 = banded_flops(2), banded_flops(4), banded_flops(8)
+    assert f8 < f4 < f2, (f2, f4, f8)
+    s = (f2 - f8) / (1 / 2 - 1 / 8)
+    fixed = f2 - s / 2
+    assert abs(fixed + s / 4 - f4) < 0.1 * f4, (fixed, s, f4)
+    # The scaling component covers at least the dense window stage:
+    # nb * n_off * t_blk * w_len pair slots at >= 8 flops each.
+    t_blk = cfg.collision_block_size
+    w_len = 2 * t_blk + 512
+    nb = -(-n // t_blk)
+    assert s > nb * 3 * t_blk * w_len * 8, s
 
 
 # ---------------------------------------------------------------------

@@ -126,10 +126,12 @@ def test_sharded_checkpoint_resume_bitwise(eight_devices, tmp_path):
     for _ in range(3):
         ref = step(ref)
 
-    # Restore -> reshard -> resume with a freshly built step.
-    loaded, cfg2 = load_checkpoint(path)
+    # Restore -> reshard -> resume with a freshly built step (the
+    # one-call io.load_checkpoint_sharded covers load + placement).
+    from nbodysim_tpu.io import load_checkpoint_sharded
+
+    rs, cfg2 = load_checkpoint_sharded(path, mesh)
     assert cfg2 is not None and cfg2.n == cfg.n
-    rs = shard_state(loaded, mesh)
     step2 = make_sharded_step(cfg2, mesh)
     out = rs
     for _ in range(3):
