@@ -46,6 +46,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from nbodysim_tpu.config import SimConfig
@@ -524,23 +525,49 @@ def _m2l_conv3(gxt, corner, size, r_full: int, eps_sq, radius: int,
     dtype = gxt[0].dtype
 
     ch = _center_channels3(gxt, corner, size, r_full, row0 - 2 * qh)
-    # Space-to-depth via per-channel parity slices, landed channel-minor
-    # by an IDENTITY MXU CONTRACTION. Every direct formulation OOMed
-    # 16 GB HBM at the clustered-1M deep levels (r3/r4): stack(axis=-1)
-    # materializes 80 width-1 lane-minor concat operands at 128x tile
-    # padding (450 MB per [8,50,48,48,1] remat copy); the one-shot
-    # [X/2,2,h,2,h,2,10] reshape/transpose padded 51x; and a
-    # stack(axis=0) + transpose still OOMed under vmap — XLA's layout
-    # assignment propagates the conv's channel-minor layout UP through
-    # the concat, re-minoring the size-1 stack axis. Flattened 1-D slice
-    # operands give the stack no small dim to re-minor, and layouts do
-    # not propagate through a dot: contracting against eye(80) lands m8
-    # directly in the conv's NDHWC layout. HIGHEST keeps the identity
-    # matmul at f32-equivalent precision (~1e-7 — far below even the
-    # shallow levels' needs). Lane order (4a+2b+d)*10 + c matches
-    # _m2l_conv_taps' child enumeration.
+    # Space-to-depth ON THE MXU, landed channel-minor by an IDENTITY
+    # CONTRACTION. Every direct formulation OOMed 16 GB HBM at the
+    # clustered-1M deep levels (r3/r4): stack(axis=-1) materializes 80
+    # width-1 lane-minor concat operands at 128x tile padding (450 MB per
+    # [8,50,48,48,1] remat copy); the one-shot [X/2,2,h,2,h,2,10]
+    # reshape/transpose padded 51x; and a stack(axis=0) + transpose still
+    # OOMed under vmap — XLA's layout assignment propagates the conv's
+    # channel-minor layout UP through the concat, re-minoring the size-1
+    # stack axis. Per-channel [a::2, b::2, d::2] strided slices avoided
+    # all of that but cost 2.40 s of the 3.51 s level-8 stage at 256^3 —
+    # stride 2 on the tiled (sublane, lane) axes lowers to a relayout
+    # copy per slice (r4, scripts/exp_m8build3.py E2). Instead the y/z
+    # parity splits run as TWO PERMUTATION-MATRIX dot_generals per
+    # (channel, x-parity): P reorders the 256 lanes to (even | odd)
+    # halves, so the 8 parity pieces become contiguous tile-aligned
+    # slices; only the outer x axis keeps a strided slice (slab-granular,
+    # cheap). Measured 0.030 s vs 2.40 s, bit-exact vs the slice build
+    # (exp_m8build3.py F; permutation rows are one-hot so HIGHEST is
+    # exact). Flattened 1-D pieces + stack(axis=0) give the stack no
+    # small dim to re-minor, and layouts do not propagate through a dot:
+    # contracting against eye(80) lands m8 directly in the conv's NDHWC
+    # layout. Lane order (4a+2b+d)*10 + c matches _m2l_conv_taps' child
+    # enumeration.
+    perm = np.zeros((r_full, r_full), np.float32)
+    half_idx = np.arange(h)
+    perm[2 * half_idx, half_idx] = 1.0
+    perm[2 * half_idx + 1, half_idx + h] = 1.0
+    perm = jnp.asarray(perm, dtype)
+    pieces = {}
+    for c in range(10):
+        for a in (0, 1):
+            g = ch[c][a::2]                            # [X/2, y, z]
+            gy = lax.dot_general(g, perm, (((1,), (0,)), ((), ())),
+                                 precision=lax.Precision.HIGHEST)
+            gz = lax.dot_general(gy, perm, (((1,), (0,)), ((), ())),
+                                 precision=lax.Precision.HIGHEST)
+            for b in (0, 1):                           # gz: [X/2, y', z']
+                for d in (0, 1):
+                    pieces[(a, b, d, c)] = lax.slice(
+                        gz, (0, b * h, d * h),
+                        (gz.shape[0], b * h + h, d * h + h))
     flat = jnp.stack(
-        [ch[c][a::2, b::2, d::2].reshape(-1)
+        [pieces[(a, b, d, c)].reshape(-1)
          for a in (0, 1) for b in (0, 1) for d in (0, 1)
          for c in range(10)], axis=0)                  # [80, X/2*h*h]
     m8 = lax.dot_general(
