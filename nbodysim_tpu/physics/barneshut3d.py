@@ -520,6 +520,12 @@ def _m2l_conv3(gxt, corner, size, r_full: int, eps_sq, radius: int,
     R = radius
     Rp = radius if r_parent is None else r_parent
     qh = Rp - 1
+    # The permutation-matrix parity build below covers lane indices
+    # 0..2h-1 only: an odd r_full would silently DROP the last row/column
+    # (wrong forces) where the old strided-slice reshape errored. Current
+    # callers guarantee evenness (r_l = 1 << l); fail loudly if that ever
+    # changes (advisor r4).
+    assert r_full % 2 == 0 and rows % 2 == 0, (r_full, rows)
     h = r_full // 2
     hb = rows // 2
     dtype = gxt[0].dtype
