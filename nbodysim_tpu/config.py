@@ -110,6 +110,14 @@ class SimConfig:
     #                              (32 in 2D, 8 in 3D — explicit values
     #                              are honored in both dims)
     bh_tile_count: int = 8       # max refined tiles per eval
+    # Sparse near-field (3D deep chain only): when nearly every particle
+    # takes the deep path (r5 probe: 99.6% on the clustered N=1M merger),
+    # the dense bucket-stencil near field is almost entirely discarded
+    # work — the few bucket-tier targets get an exact cell-masked pairwise
+    # pass instead, and targets beyond the static capacity gracefully
+    # promote to the deep path. -1 = auto (init probe turns it on when
+    # the bucket-tier target count fits the capacity), 0 = off, 1 = on.
+    bh_nf_sparse: int = -1
 
     # Numerics
     dtype: Any = jnp.float32

@@ -804,6 +804,66 @@ _DEEP_SMOOTH = 0.09   # (0.3 s_d)^2: near-window cells act as Plummer
                       # clouds of width ~0.3 cell — see docstring
 
 
+def _compact_indices(mask, cap: int):
+    """Static-capacity compaction of the True rows of `mask`: returns
+    (sidx [cap] int32, count). sidx holds the indices of the first `cap`
+    True rows in order, sentinel n beyond; `count` is the true total —
+    callers lax.cond a full-length fallback when count > cap (the same
+    scheme as the banded trees' per-band window compaction,
+    parallel/tree.py)."""
+    n = mask.shape[0]
+    rank = jnp.cumsum(mask) - 1
+    sidx = (jnp.full((cap,), n, jnp.int32)
+            .at[jnp.where(mask & (rank < cap), rank, cap)]
+            .set(jnp.arange(n, dtype=jnp.int32), mode="drop"))
+    return sidx, jnp.sum(mask)
+
+
+def _refined_cap(n: int) -> int:
+    """Static row capacity for the compacted tile-apply pass. The refined
+    set is the deep-path targets inside the T selected tiles — measured
+    15.3% of N on the flagship N=4M merger (config 5, r5 probe), so n//4
+    holds it with ~60% margin; beyond the cap an in-jit lax.cond falls
+    back to the full-length apply (correct, just unshaved)."""
+    return max(n // 4, 4096)
+
+
+def _scatter_cap(n: int) -> int:
+    """Static row capacity for the compacted tile-scatter sources (the
+    selected-tile members plus the selected-adjacent edge band — a
+    slightly larger set than _refined_cap's targets)."""
+    return max((3 * n) // 8, 4096)
+
+
+def _tile_src_mask(ci_f, tile_slot, deep: int, radius: int, t: int,
+                   T: int):
+    """Rows that can contribute moments to any selected tile window:
+    home-tile members plus particles within H of a tile edge whose
+    shifted neighbor tile is selected (the same candidate geometry as
+    _tile_scatter's cand(); kept boolean-only so the compacted scatter
+    can cut its source rows before paying the full-length scatter)."""
+    rD = 1 << deep
+    nt = rD // t
+    H = radius
+    tx = ci_f[:, 0] // t
+    ty = ci_f[:, 1] // t
+    mx = ci_f[:, 0] % t
+    my = ci_f[:, 1] % t
+    sx = jnp.where(mx < H, -1, jnp.where(mx >= t - H, 1, 0))
+    sy = jnp.where(my < H, -1, jnp.where(my >= t - H, 1, 0))
+
+    def sel(ctx, cty, ok):
+        ok = ok & ((ctx >= 0) & (ctx < nt) & (cty >= 0) & (cty < nt))
+        return ok & (tile_slot[jnp.where(ok, ctx * nt + cty,
+                                         nt * nt)] < T)
+
+    true = jnp.ones(tx.shape, bool)
+    return (sel(tx, ty, true)
+            | sel(tx + sx, ty, sx != 0)
+            | sel(tx, ty + sy, sy != 0)
+            | sel(tx + sx, ty + sy, (sx != 0) & (sy != 0)))
+
+
 def _deep_near_aggregates(pos, payload, gp, ci_deep, eps_sq, s_d,
                           rr: int, row0=0):
     """Smoothed-aggregate near field of the deep-overflow path: the
@@ -836,6 +896,43 @@ def _deep_near_aggregates(pos, payload, gp, ci_deep, eps_sq, s_d,
     base = row * stride + col
     return _aggregate_window_eval(gp, base, stride, payload, pos, eps_sq,
                                   rr)
+
+
+def _deep_near_aggregates_packed(pos, payload, g3_pad, ci_deep, eps_sq,
+                                 s_d):
+    """y-packed variant of _deep_near_aggregates for the single-chip
+    rin=1 window (see barneshut3d._deep_near_aggregates3_packed for the
+    lane-utilization rationale): pack the 3 y-neighbor monopole cells
+    into 9-lane rows with one dense concat, cutting the per-particle
+    gathers from 9 to 3. g3_pad: [r+2, r+2, 3] rin=1-padded (m, sx, sy)
+    grids. Accumulation order matches _aggregate_window_eval (ox, oy)
+    bitwise."""
+    eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
+    side = g3_pad.shape[0]
+    r = side - 2
+    gy = jnp.concatenate([g3_pad[:, :-2, :], g3_pad[:, 1:-1, :],
+                          g3_pad[:, 2:, :]], axis=-1)       # [r+2, r, 9]
+    gy = gy.reshape(-1, 9)
+    base = (ci_deep[:, 0] + 1) * r + ci_deep[:, 1]
+    px, py = pos[:, 0], pos[:, 1]
+    ax = jnp.zeros_like(px)
+    ay = jnp.zeros_like(py)
+    for ox in (-1, 0, 1):
+        rows = gy[base + ox * r]                            # [N, 9]
+        for j, oy in enumerate((-1, 0, 1)):
+            ch = rows[:, 3 * j:3 * j + 3]
+            if ox == 0 and oy == 0:
+                ch = ch - payload
+            m = ch[:, 0]
+            safe_m = jnp.where(m > 0, m, 1.0)
+            dx = ch[:, 1] / safe_m - px
+            dy = ch[:, 2] / safe_m - py
+            q = dx * dx + dy * dy + eps_sq
+            inv = lax.rsqrt(q)
+            w3 = m * (inv * inv * inv)
+            ax = ax + w3 * dx
+            ay = ay + w3 * dy
+    return jnp.stack([ax, ay], axis=-1)
 
 
 def _aggregate_window_eval(gp_flat, base, stride, payload, pos, eps_sq,
@@ -1184,16 +1281,70 @@ def _tile_eval(pos, payload, bulk_pos, ci_f, b_par, local_w,
     slice of the level-D locals (see _tile_refine; split into
     _tile_scatter / _tile_chain / _tile_apply so the banded multi-chip
     tree can scatter per-band subsets + psum and apply on band targets).
-    `tid` is accepted for callers that precomputed it (recomputed in
-    _tile_apply from ci_f)."""
-    del tid
-    g3k = _tile_scatter(payload, bulk_pos, ci_f, tile_slot, orig,
-                        corner, size, deep, radius, k, t, T)
+
+    The apply runs on a COMPACTED candidate set (refined targets =
+    (tile_slot[tid] < T) & b_par, computable before the expensive
+    gather+Taylor+window work) — the full-length apply evaluated all N
+    rows and discarded ~85% of them on the flagship merger (r5 probe:
+    frac_ref 15.3% at N=4M). lax.cond falls back to the full pass when
+    the candidate count overflows the static cap.
+
+    The scatter sources compact the same way (r5): only selected-tile
+    members + the selected-adjacent edge band contribute moments, so the
+    full-length scatter wasted most of its rows on drop-indexed
+    particles (the banded tree's compact_grids pattern,
+    parallel/tree.py)."""
+    n = pos.shape[0]
+    s_cap = _scatter_cap(n)
+    if s_cap >= n:
+        g3k = _tile_scatter(payload, bulk_pos, ci_f, tile_slot, orig,
+                            corner, size, deep, radius, k, t, T)
+    else:
+        src = _tile_src_mask(ci_f, tile_slot, deep, radius, t, T)
+        sidx_s, n_src = _compact_indices(src, s_cap)
+
+        def compact_scatter(_):
+            valid_s = sidx_s < n
+            ss = jnp.minimum(sidx_s, n - 1)
+            pay_s = jnp.where(valid_s[:, None], payload[ss], 0.0)
+            return _tile_scatter(pay_s, bulk_pos[ss], ci_f[ss], tile_slot,
+                                 orig, corner, size, deep, radius, k, t,
+                                 T, src_mask=valid_s)
+
+        def full_scatter(_):
+            return _tile_scatter(payload, bulk_pos, ci_f, tile_slot, orig,
+                                 corner, size, deep, radius, k, t, T)
+
+        g3k = lax.cond(n_src <= s_cap, compact_scatter, full_scatter, 0)
     local_w = _tile_chain(local_w, g3k, orig, corner, size, deep, radius,
                           eps_sq, k, t, T)
-    return _tile_apply(pos, payload, bulk_pos, ci_f, b_par, local_w, g3k,
-                       tile_slot, orig, corner, size, deep, radius,
-                       eps_sq, k, t, T)
+
+    def full_apply(_):
+        return _tile_apply(pos, payload, bulk_pos, ci_f, b_par, local_w,
+                           g3k, tile_slot, orig, corner, size, deep,
+                           radius, eps_sq, k, t, T)
+
+    n = pos.shape[0]
+    cap = _refined_cap(n)
+    if cap >= n:
+        return full_apply(0)
+    cand = (tile_slot[tid] < T) & b_par
+    sidx, n_cand = _compact_indices(cand, cap)
+
+    def compact_apply(_):
+        valid = sidx < n
+        si = jnp.minimum(sidx, n - 1)
+        r_s, far_s, near_s = _tile_apply(
+            pos[si], payload[si], bulk_pos[si], ci_f[si],
+            b_par[si] & valid, local_w, g3k, tile_slot, orig, corner,
+            size, deep, radius, eps_sq, k, t, T)
+        tgt = jnp.where(valid & r_s, si, n)
+        refined = jnp.zeros((n,), bool).at[tgt].set(True, mode="drop")
+        far = jnp.zeros_like(pos).at[tgt].set(far_s, mode="drop")
+        near = jnp.zeros_like(pos).at[tgt].set(near_s, mode="drop")
+        return refined, far, near
+
+    return lax.cond(n_cand <= cap, compact_apply, full_apply, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
@@ -1216,12 +1367,25 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     acc_heavy = heavy_coupling(pos, h_pos, h_mass, eps_sq, g_const)
 
     # Exact forces ON outliers from all non-heavy sources (heavy forces on
-    # them come from acc_heavy; other outliers are included here).
+    # them come from acc_heavy; other outliers are included here). On the
+    # TPU path (nf_pallas) the two rectangular couplings run through the
+    # tuned Pallas all-pairs kernel — the blocked-XLA form was ~0.2 s of
+    # untimed whole-vs-stage-sum gap at flagship scale (r5).
     from nbodysim_tpu.physics.forces import direct_accelerations
 
-    acc_out = direct_accelerations(
-        pos[out_i], None, eps_sq, g_const,
-        src_pos=pos, src_mass=jnp.where(is_heavy, 0.0, mass))
+    if nf_pallas:
+        from nbodysim_tpu.kernels.allpairs import allpairs_accelerations
+
+        def _direct(tp, sp, sm):
+            return allpairs_accelerations(
+                tp, None, eps_sq=eps_sq, g_const=g_const,
+                interpret=interpret, src_pos=sp, src_mass=sm)
+    else:
+        def _direct(tp, sp, sm):
+            return direct_accelerations(tp, None, eps_sq, g_const,
+                                        src_pos=sp, src_mass=sm)
+
+    acc_out = _direct(pos[out_i], pos, jnp.where(is_heavy, 0.0, mass))
     # As sources toward the bulk, outliers must not re-contribute heavy
     # mass (acc_heavy already covers every heavy source).
     out_src_mass = jnp.where(out_sel & ~is_heavy[out_i], mass[out_i], 0.0)
@@ -1229,9 +1393,7 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     # outliers' mass, by exact [N, k_out] pairs (outlier-target rows of
     # this term are discarded below — their exact pass already includes
     # outlier-outlier interactions).
-    acc_from_out = direct_accelerations(
-        pos, None, eps_sq, g_const,
-        src_pos=pos[out_i], src_mass=out_src_mass)
+    acc_from_out = _direct(pos, pos[out_i], out_src_mass)
 
     mass = ext["tree_mass"]      # the tree sees only the bulk
     bulk_pos = ext["bulk_pos"]
@@ -1322,9 +1484,14 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                                        size, deep)
         g3_pad = jnp.pad(jnp.stack(grids[deep][:3], axis=-1),
                          ((rin, rin), (rin, rin), (0, 0)))
-        deep_near = g_const * _deep_near_aggregates(
-            pos, payload[:, :3], g3_pad, ci_f, eps_sq,
-            size / (1 << deep), rr=rin)
+        if rin == 1:
+            deep_near = g_const * _deep_near_aggregates_packed(
+                pos, payload[:, :3], g3_pad, ci_f, eps_sq,
+                size / (1 << deep))
+        else:
+            deep_near = g_const * _deep_near_aggregates(
+                pos, payload[:, :3], g3_pad, ci_f, eps_sq,
+                size / (1 << deep), rr=rin)
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)
 

@@ -888,6 +888,52 @@ def _deep_near_aggregates3(pos, payload, gp, ci_deep, eps_sq, s_d,
                                    rr)
 
 
+def _deep_near_aggregates3_packed(pos, payload, g4_pad, ci_deep, eps_sq,
+                                  s_d):
+    """z-packed variant of _deep_near_aggregates3 for the single-chip
+    rin=1 window: the 27 per-offset row gathers were the deep path's
+    dominant remaining stage (0.33 s at clustered N=1M, r5 profile)
+    because each transaction fetches a 4-float row — 124 of 128 lanes
+    wasted. Packing the 3 z-neighbor cells into 12-lane rows (one dense
+    concat, stencil-cheap) cuts the gathers to 9 of 3x-wider rows.
+    g4_pad: [r+2, r+2, r+2, 4] rin=1-padded monopole grids (same input
+    the unpacked call takes). Accumulation order matches
+    _aggregate_window_eval3 (ox, oy, oz) bitwise."""
+    from nbodysim_tpu.physics.barneshut import _DEEP_SMOOTH
+
+    eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
+    side = g4_pad.shape[1]
+    r = side - 2
+    gz = jnp.concatenate([g4_pad[:, :, :-2, :], g4_pad[:, :, 1:-1, :],
+                          g4_pad[:, :, 2:, :]], axis=-1)  # [r+2, r+2, r, 12]
+    gz = gz.reshape(-1, 12)
+    base = ((ci_deep[:, 0] + 1) * side + ci_deep[:, 1] + 1) * r \
+        + ci_deep[:, 2]
+    px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
+    ax = jnp.zeros_like(px)
+    ay = jnp.zeros_like(py)
+    az = jnp.zeros_like(pz)
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            rows = gz[base + (ox * side + oy) * r]            # [N, 12]
+            for j, oz in enumerate((-1, 0, 1)):
+                ch = rows[:, 4 * j:4 * j + 4]
+                if ox == 0 and oy == 0 and oz == 0:
+                    ch = ch - payload
+                m = ch[:, 0]
+                safe_m = jnp.where(m > 0, m, 1.0)
+                dx = ch[:, 1] / safe_m - px
+                dy = ch[:, 2] / safe_m - py
+                dz = ch[:, 3] / safe_m - pz
+                q = dx * dx + dy * dy + dz * dz + eps_sq
+                inv = lax.rsqrt(q)
+                w3 = m * (inv * inv * inv)
+                ax = ax + w3 * dx
+                ay = ay + w3 * dy
+                az = az + w3 * dz
+    return jnp.stack([ax, ay, az], axis=-1)
+
+
 def _aggregate_window_eval3(gp_flat, base, side, payload, pos, eps_sq,
                             rr: int):
     """(2rr+1)^3 smoothed cell-aggregate kick shared by the full-grid deep
@@ -1219,20 +1265,125 @@ def _tile_apply3(pos, payload, bulk_pos, ci_f, b_par, local_w, g4k,
     return refined, far_ref, near_ref
 
 
+def _refined_cap3(n: int) -> int:
+    """Static row capacity for the 3D compacted tile apply (see
+    barneshut._refined_cap). 3D clustered scenes concentrate harder than
+    2D (r5 probe: frac_ref 45.5% at clustered N=1M vs 15.3% on the 2D
+    merger), so the octree keeps n//2 + the in-jit full-length
+    fallback."""
+    return max(n // 2, 4096)
+
+
+def _scatter_cap3(n: int) -> int:
+    """Static row capacity for the 3D compacted tile-scatter sources
+    (selected-tile members + selected-adjacent edge band; see
+    barneshut._scatter_cap)."""
+    return max((5 * n) // 8, 4096)
+
+
+def _tile_src_mask3(ci_f, tile_slot, deep: int, radius: int, t: int,
+                    T: int):
+    """3D rows that can contribute moments to a selected tile window
+    (home members + selected-adjacent halo band; the boolean form of
+    _tile_scatter3's cand() geometry)."""
+    rD = 1 << deep
+    nt = rD // t
+    H = radius
+    tx = ci_f[:, 0] // t
+    ty = ci_f[:, 1] // t
+    tz = ci_f[:, 2] // t
+    mx = ci_f[:, 0] % t
+    my = ci_f[:, 1] % t
+    mz = ci_f[:, 2] % t
+    sx = jnp.where(mx < H, -1, jnp.where(mx >= t - H, 1, 0))
+    sy = jnp.where(my < H, -1, jnp.where(my >= t - H, 1, 0))
+    sz = jnp.where(mz < H, -1, jnp.where(mz >= t - H, 1, 0))
+
+    def sel(ctx, cty, ctz, ok):
+        ok = ok & ((ctx >= 0) & (ctx < nt) & (cty >= 0) & (cty < nt)
+                   & (ctz >= 0) & (ctz < nt))
+        return ok & (tile_slot[jnp.where(
+            ok, (ctx * nt + cty) * nt + ctz, nt ** 3)] < T)
+
+    src = sel(tx, ty, tz, jnp.ones(tx.shape, bool))
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                if (cx, cy, cz) == (0, 0, 0):
+                    continue
+                ok = jnp.ones(tx.shape, bool)
+                if cx:
+                    ok = ok & (sx != 0)
+                if cy:
+                    ok = ok & (sy != 0)
+                if cz:
+                    ok = ok & (sz != 0)
+                src = src | sel(tx + (sx if cx else 0),
+                                ty + (sy if cy else 0),
+                                tz + (sz if cz else 0), ok)
+    return src
+
+
 def _tile_eval3(pos, payload, bulk_pos, ci_f, b_par, local_w,
                 tid, tile_slot, orig, corner, size, deep: int, radius: int,
                 eps_sq, k: int, t: int, T: int):
     """Per-tile chain + refined evaluation for the 3D octree (mirrors
-    barneshut._tile_eval; split into _tile_scatter3 / _tile_chain3 /
-    _tile_apply3 for the banded tree)."""
-    del tid
-    g4k = _tile_scatter3(payload, bulk_pos, ci_f, tile_slot, orig,
-                         corner, size, deep, radius, k, t, T)
+    barneshut._tile_eval, incl. its compacted apply; split into
+    _tile_scatter3 / _tile_chain3 / _tile_apply3 for the banded tree)."""
+    from nbodysim_tpu.physics.barneshut import _compact_indices
+
+    n = pos.shape[0]
+    s_cap = _scatter_cap3(n)
+    if s_cap >= n:
+        g4k = _tile_scatter3(payload, bulk_pos, ci_f, tile_slot, orig,
+                             corner, size, deep, radius, k, t, T)
+    else:
+        src = _tile_src_mask3(ci_f, tile_slot, deep, radius, t, T)
+        sidx_s, n_src = _compact_indices(src, s_cap)
+
+        def compact_scatter(_):
+            valid_s = sidx_s < n
+            ss = jnp.minimum(sidx_s, n - 1)
+            pay_s = jnp.where(valid_s[:, None], payload[ss], 0.0)
+            return _tile_scatter3(pay_s, bulk_pos[ss], ci_f[ss],
+                                  tile_slot, orig, corner, size, deep,
+                                  radius, k, t, T, src_mask=valid_s)
+
+        def full_scatter(_):
+            return _tile_scatter3(payload, bulk_pos, ci_f, tile_slot,
+                                  orig, corner, size, deep, radius,
+                                  k, t, T)
+
+        g4k = lax.cond(n_src <= s_cap, compact_scatter, full_scatter, 0)
     local_w = _tile_chain3(local_w, g4k, orig, corner, size, deep, radius,
                            eps_sq, k, t, T)
-    return _tile_apply3(pos, payload, bulk_pos, ci_f, b_par, local_w, g4k,
-                        tile_slot, orig, corner, size, deep, radius,
-                        eps_sq, k, t, T)
+
+    def full_apply(_):
+        return _tile_apply3(pos, payload, bulk_pos, ci_f, b_par, local_w,
+                            g4k, tile_slot, orig, corner, size, deep,
+                            radius, eps_sq, k, t, T)
+
+    n = pos.shape[0]
+    cap = _refined_cap3(n)
+    if cap >= n:
+        return full_apply(0)
+    cand = (tile_slot[tid] < T) & b_par
+    sidx, n_cand = _compact_indices(cand, cap)
+
+    def compact_apply(_):
+        valid = sidx < n
+        si = jnp.minimum(sidx, n - 1)
+        r_s, far_s, near_s = _tile_apply3(
+            pos[si], payload[si], bulk_pos[si], ci_f[si],
+            b_par[si] & valid, local_w, g4k, tile_slot, orig, corner,
+            size, deep, radius, eps_sq, k, t, T)
+        tgt = jnp.where(valid & r_s, si, n)
+        refined = jnp.zeros((n,), bool).at[tgt].set(True, mode="drop")
+        far = jnp.zeros_like(pos).at[tgt].set(far_s, mode="drop")
+        near = jnp.zeros_like(pos).at[tgt].set(near_s, mode="drop")
+        return refined, far, near
+
+    return lax.cond(n_cand <= cap, compact_apply, full_apply, 0)
 
 
 def _tile_refine3(pos, payload, bulk_pos, ci_f, b_par, local_deep,
@@ -1286,16 +1437,28 @@ def _resolve_tile_params3(config: SimConfig, deep: int,
     return k, t, count
 
 
+_NF_SPARSE_CAP = 16384   # static bucket-tier target capacity of the
+                         # sparse near-field pass (see SimConfig.
+                         # bh_nf_sparse); beyond it targets promote to
+                         # the deep path instead of falling back
+
+
+def _nf_sparse_cap(n: int) -> int:
+    return min(n, _NF_SPARSE_CAP)
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
                                              "near_cap", "radius",
                                              "nf_pallas", "interpret",
                                              "deep_levels", "tile_levels",
-                                             "tile_size", "tile_count"))
+                                             "tile_size", "tile_count",
+                                             "nf_sparse"))
 def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                        near_cap: int, radius: int,
                        nf_pallas: bool = False, interpret: bool = False,
                        deep_levels: int = 0, tile_levels: int = 0,
-                       tile_size: int = 8, tile_count: int = 8):
+                       tile_size: int = 8, tile_count: int = 8,
+                       nf_sparse: bool = False):
     n = pos.shape[0]
     ext = _extract_heavy_outliers(pos, mass)
     is_heavy, h_pos, h_mass = ext["is_heavy"], ext["h_pos"], ext["h_mass"]
@@ -1304,15 +1467,26 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
 
     acc_heavy = heavy_coupling(pos, h_pos, h_mass, eps_sq, g_const)
 
+    # Rectangular outlier couplings: Pallas kernel on the TPU path (see
+    # barneshut._bh_accelerations — the blocked-XLA form was untimed
+    # whole-vs-stage-sum gap, r5).
     from nbodysim_tpu.physics.forces import direct_accelerations
 
-    acc_out = direct_accelerations(
-        pos[out_i], None, eps_sq, g_const,
-        src_pos=pos, src_mass=jnp.where(is_heavy, 0.0, mass))
+    if nf_pallas:
+        from nbodysim_tpu.kernels.allpairs import allpairs_accelerations
+
+        def _direct(tp, sp, sm):
+            return allpairs_accelerations(
+                tp, None, eps_sq=eps_sq, g_const=g_const,
+                interpret=interpret, src_pos=sp, src_mass=sm)
+    else:
+        def _direct(tp, sp, sm):
+            return direct_accelerations(tp, None, eps_sq, g_const,
+                                        src_pos=sp, src_mass=sm)
+
+    acc_out = _direct(pos[out_i], pos, jnp.where(is_heavy, 0.0, mass))
     out_src_mass = jnp.where(out_sel & ~is_heavy[out_i], mass[out_i], 0.0)
-    acc_from_out = direct_accelerations(
-        pos, None, eps_sq, g_const,
-        src_pos=pos[out_i], src_mass=out_src_mass)
+    acc_from_out = _direct(pos, pos[out_i], out_src_mass)
 
     tree_mass = ext["tree_mass"]
     bulk_pos = ext["bulk_pos"]
@@ -1351,10 +1525,6 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     far = g_const * _l2p_eval3(local_bucket, ci, pos, corner, size, levels)
 
     flat_nf = jnp.where(is_out, res * res * res + jnp.arange(n), flat)
-    near, overflow = _near_field_buckets3(
-        pos, tree_mass, ci, flat_nf, levels, eps_sq, g_const, near_cap,
-        radius, use_pallas=nf_pallas, interpret=interpret,
-        skip_residual=bool(deep))
 
     if deep:
         occ = jnp.zeros((res * res * res,), jnp.int32).at[flat_nf].add(
@@ -1374,6 +1544,38 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
         # genuinely hot tile from the top-T set (r3 review).
         b_par = bmask.reshape(-1)[flat] & ~is_out              # [N]
 
+    if deep and nf_sparse:
+        # Sparse near field (SimConfig.bh_nf_sparse): the dense bucket
+        # stencil computes a near field that b_par rows immediately
+        # discard — 99.6% of them on the clustered N=1M merger (r5
+        # probe). The few bucket-tier targets instead get an exact
+        # cell-masked pairwise pass (identical coverage: Chebyshev
+        # radius-1 cell window, same softening; summation order differs
+        # by roundoff only). Bucket-tier targets beyond the static cap
+        # PROMOTE to the deep path — graceful PM-smoothed physics, no
+        # dense fallback graph to compile.
+        cand_nf = ~b_par & ~is_out
+        cap_nf = _nf_sparse_cap(n)
+        rank_nf = jnp.cumsum(cand_nf) - 1
+        sidx = (jnp.full((cap_nf,), n, jnp.int32)
+                .at[jnp.where(cand_nf & (rank_nf < cap_nf), rank_nf,
+                              cap_nf)]
+                .set(jnp.arange(n, dtype=jnp.int32), mode="drop"))
+        valid_nf = sidx < n
+        si = jnp.minimum(sidx, n - 1)
+        t_acc = _near_masked_blocked(
+            pos[si], ci[si], bulk_pos, tree_mass, ci, eps_sq, radius - 1)
+        near = (jnp.zeros_like(pos)
+                .at[jnp.where(valid_nf, si, n)]
+                .set(g_const * t_acc, mode="drop"))
+        b_par = b_par | (cand_nf & (rank_nf >= cap_nf))
+    else:
+        near, _ = _near_field_buckets3(
+            pos, tree_mass, ci, flat_nf, levels, eps_sq, g_const, near_cap,
+            radius, use_pallas=nf_pallas, interpret=interpret,
+            skip_residual=bool(deep))
+
+    if deep:
         payload = _moment_payload3(pos, tree_mass)
         rrd = radius - 1
         rin = min(rrd, 1)   # inner aggregate window; ring folds into L2P
@@ -1395,9 +1597,14 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
         # rows, which XLA lays out flat-minor (measured fine in 2D).
         g4_pad = jnp.stack([jnp.pad(grids[deep][i], rin)
                             for i in range(4)], axis=-1)
-        deep_near = g_const * _deep_near_aggregates3(
-            pos, payload[:, :4], g4_pad, ci_f, eps_sq,
-            size / (1 << deep), rr=rin)
+        if rin == 1:
+            deep_near = g_const * _deep_near_aggregates3_packed(
+                pos, payload[:, :4], g4_pad, ci_f, eps_sq,
+                size / (1 << deep))
+        else:
+            deep_near = g_const * _deep_near_aggregates3(
+                pos, payload[:, :4], g4_pad, ci_f, eps_sq,
+                size / (1 << deep), rr=rin)
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)
 
@@ -1462,7 +1669,8 @@ def bh3_accelerations(pos: jax.Array, mass: jax.Array,
         g_const=float(config.g_const), near_cap=NEAR_CAP,
         radius=radius,
         nf_pallas=_nf_use_pallas(config), interpret=config.pallas_interpret,
-        deep_levels=deep, tile_levels=tk, tile_size=tt, tile_count=tc)
+        deep_levels=deep, tile_levels=tk, tile_size=tt, tile_count=tc,
+        nf_sparse=bool(deep) and config.bh_nf_sparse == 1)
 
 
 _MAX_DEEP_3D = 8   # 256^3 moment grid = 670 MB f32; 512^3 would be 5.4 GB
@@ -1501,3 +1709,36 @@ def bh3_near_overflow(pos: jax.Array, mass: jax.Array,
     first = sorted_first_occurrence(flat_s)
     slot = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
     return int(jnp.sum((slot >= NEAR_CAP) & (flat_s < res**3)))
+
+
+def bh3_bucket_tier_count(pos: jax.Array, mass: jax.Array,
+                          config: SimConfig) -> int:
+    """Host-side probe (init / re-resolve): how many particles would take
+    the bucket-tier near field (NOT the deep path) under the config's
+    resolved deep chain. Drives the bh_nf_sparse auto resolution — when
+    nearly everything is deep-path (r5 probe: 99.6% at clustered N=1M),
+    the dense bucket stencil is discarded work and the sparse pass wins."""
+    n = pos.shape[0]
+    levels = _resolve_levels3(config, n)
+    deep = _resolve_deep_levels3(config, levels)
+    if not deep:
+        return n
+    res = 1 << levels
+    ext = _extract_heavy_outliers(pos, mass)
+    corner, size = _bounding_cube(ext["bulk_pos"])
+    u = (ext["bulk_pos"] - corner) / size
+    ci = jnp.clip((u * res).astype(jnp.int32), 0, res - 1)
+    flat = (ci[:, 0] * res + ci[:, 1]) * res + ci[:, 2]
+    flat_nf = jnp.where(ext["is_out"], res**3 + jnp.arange(n), flat)
+    occ = jnp.zeros((res**3,), jnp.int32).at[flat_nf].add(1, mode="drop")
+    hot = (occ > NEAR_CAP).reshape(res, res, res)
+    rr = _resolve_radius3(config) - 1
+    hotp = jnp.pad(hot, rr)
+    bmask = jnp.zeros((res, res, res), bool)
+    for ox in range(2 * rr + 1):
+        for oy in range(2 * rr + 1):
+            for oz in range(2 * rr + 1):
+                bmask = bmask | hotp[ox:ox + res, oy:oy + res,
+                                     oz:oz + res]
+    b_par = bmask.reshape(-1)[flat] & ~ext["is_out"]
+    return int(jnp.sum(~b_par & ~ext["is_out"]))

@@ -274,8 +274,35 @@ def resolve_config_for_state(pos, mass, config: SimConfig) -> SimConfig:
             f"explicitly to override.", RuntimeWarning)
         # bh_tile_levels defaults to -1 (auto: on whenever deep is on);
         # an explicit user 0 keeps tiles off.
-        return config.replace(force_backend="bh", bh_deep_levels=-1)
-    return config.replace(force_backend="bh")
+        config = config.replace(force_backend="bh", bh_deep_levels=-1)
+        return _resolve_nf_sparse(pos, mass, config)
+    return _resolve_nf_sparse(pos, mass,
+                              config.replace(force_backend="bh"))
+
+
+def _resolve_nf_sparse(pos, mass, config: SimConfig) -> SimConfig:
+    """Pin bh_nf_sparse = -1 (auto) to 0/1 from the actual distribution:
+    ON when the deep chain is active and the bucket-tier target count
+    fits half the sparse pass's static capacity (3D only — the dense
+    2D bucket stencil is cheap enough and 2D scenes keep far more
+    bucket-tier targets; r5 probe: 14% of N=4M vs 0.4% at clustered 3D
+    N=1M). Beyond-capacity growth mid-run degrades gracefully (targets
+    promote to the deep path), so the half-capacity margin only guards
+    accuracy, not correctness."""
+    if config.bh_nf_sparse != -1 or pos.shape[1] != 3:
+        return (config if config.bh_nf_sparse != -1
+                else config.replace(bh_nf_sparse=0))
+    from nbodysim_tpu.physics.barneshut3d import (
+        _NF_SPARSE_CAP, _resolve_deep_levels3, _resolve_levels3,
+        bh3_bucket_tier_count)
+
+    deep = _resolve_deep_levels3(
+        config, _resolve_levels3(config, pos.shape[0]))
+    if not deep:
+        return config.replace(bh_nf_sparse=0)
+    count = bh3_bucket_tier_count(pos, mass, config)
+    return config.replace(
+        bh_nf_sparse=1 if count <= _NF_SPARSE_CAP // 2 else 0)
 
 
 def compute_accelerations(

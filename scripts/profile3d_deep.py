@@ -149,6 +149,30 @@ def main():
     time_stage("near-field buckets (incl. sort)", near,
                (bulk_pos, tree_mass), reps=args.reps)
 
+    nf_sparse = (b3.bh3_bucket_tier_count(pos, mass, config)
+                 <= b3._NF_SPARSE_CAP // 2)
+    print(json.dumps({"stage": "nf_sparse resolved", "on": bool(nf_sparse)}),
+          flush=True)
+
+    # ---- outlier couplings (r5: were untimed whole-vs-sum gap) ---------
+    from nbodysim_tpu.kernels.allpairs import allpairs_accelerations
+
+    ext_full = jax.jit(b3._extract_heavy_outliers)(pos, mass)
+    out_i = jax.device_put(ext_full["out_i"])
+    o_mass = jax.device_put(
+        jnp.where(ext_full["is_heavy"], 0.0, mass))
+
+    def outcouple(pos_, om_):
+        a1 = allpairs_accelerations(pos_[out_i], None, eps_sq=eps_sq,
+                                    src_pos=pos_, src_mass=om_)
+        a2 = allpairs_accelerations(pos_, None, eps_sq=eps_sq,
+                                    src_pos=pos_[out_i],
+                                    src_mass=om_[out_i])
+        return a1, a2
+
+    time_stage("outlier couplings (2x rect Pallas)", outcouple,
+               (pos, o_mass), reps=args.reps)
+
     time_stage("global argsort", lambda f: jnp.argsort(f),
                (jax.device_put(flat_nf.astype(jnp.float32)),),
                reps=args.reps)
@@ -179,6 +203,9 @@ def main():
         [jnp.pad(g[i], rin) for i in range(4)], axis=-1))(grids[deep])
 
     def agg(pos_, payload_, g4_):
+        if rin == 1:    # shipped dispatch: z-packed rows (r5)
+            return b3._deep_near_aggregates3_packed(
+                pos_, payload_, g4_, ci_f, eps_sq, size_ / (1 << deep))
         return b3._deep_near_aggregates3(pos_, payload_, g4_, ci_f, eps_sq,
                                          size_ / (1 << deep), rr=rin)
 
@@ -220,11 +247,13 @@ def main():
     # ---- whole eval (riskiest compile LAST) ----------------------------------------
     if args.whole:
         def whole(pos_, mass_):
+            # production flags: Pallas near field + couplings on the TPU
             return b3._bh3_accelerations(
                 pos_, mass_, levels=levels, eps_sq=eps_sq,
                 g_const=float(config.g_const), near_cap=b3.NEAR_CAP,
-                radius=radius, deep_levels=deep, tile_levels=tk,
-                tile_size=tt, tile_count=tc)
+                radius=radius, nf_pallas=True, deep_levels=deep,
+                tile_levels=tk, tile_size=tt, tile_count=tc,
+                nf_sparse=bool(nf_sparse))
 
         time_stage("WHOLE eval (deep+tiles)", whole, (pos, mass),
                    reps=args.reps)

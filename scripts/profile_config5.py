@@ -171,11 +171,32 @@ def main():
     pay3 = payload[:, :3]
 
     def agg(pos_, payload_, g3_):
+        if rin == 1:    # shipped dispatch: y-packed rows (r5)
+            return bh._deep_near_aggregates_packed(
+                pos_, payload_, g3_, ci_f, eps_sq, size_ / (1 << deep))
         return bh._deep_near_aggregates(pos_, payload_, g3_, ci_f, eps_sq,
                                         size_ / (1 << deep), rr=rin)
 
     time_stage("deep aggregates (3x3 monopole gathers)", agg,
                (bulk_pos, pay3, g3d), reps=args.reps)
+
+    # ---- outlier couplings (r5: untimed whole-vs-sum gap) ---------------
+    from nbodysim_tpu.kernels.allpairs import allpairs_accelerations
+
+    ext_full = jax.jit(bh._extract_heavy_outliers)(pos, mass)
+    out_i = jax.device_put(ext_full["out_i"])
+    o_mass = jax.device_put(jnp.where(ext_full["is_heavy"], 0.0, mass))
+
+    def outcouple(pos_, om_):
+        a1 = allpairs_accelerations(pos_[out_i], None, eps_sq=eps_sq,
+                                    src_pos=pos_, src_mass=om_)
+        a2 = allpairs_accelerations(pos_, None, eps_sq=eps_sq,
+                                    src_pos=pos_[out_i],
+                                    src_mass=om_[out_i])
+        return a1, a2
+
+    time_stage("outlier couplings (2x rect Pallas)", outcouple,
+               (pos, o_mass), reps=args.reps)
 
     # ---- L2P gathers --------------------------------------------------
     loc_b = tuple(jax.device_put(jnp.zeros((res, res), jnp.float32))

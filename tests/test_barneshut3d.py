@@ -6,6 +6,8 @@ own extension, so it must meet the framework's own bars: field error at the
 near-exact momentum balance.
 """
 
+import warnings
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -230,3 +232,94 @@ def test_bh3_sharded_replicated(eight_devices):
     out = make_sharded_step(cfg, mesh)(sharded)
     np.testing.assert_allclose(
         np.asarray(out.pos), np.asarray(ref.pos), rtol=2e-5, atol=1e-4)
+
+
+def test_nf_sparse_matches_dense():
+    """r5 sparse near-field: identical physics to the dense bucket pass
+    for bucket-tier targets (same cell window, same softening; summation
+    order differs by roundoff), deep rows untouched."""
+    from nbodysim_tpu.physics import barneshut3d as b3
+
+    n = 4096
+    k = jax.random.split(jax.random.PRNGKey(5), 4)
+    blob = 30.0 * jax.random.normal(k[0], (n // 2, 3)) + jnp.array(
+        [500.0, -300.0, 200.0])
+    bg = jax.random.uniform(k[2], (n // 2, 3), jnp.float32,
+                            -2000.0, 2000.0)
+    pos = jnp.concatenate([blob, bg]).astype(jnp.float32)
+    mass = jax.random.uniform(k[3], (n,), jnp.float32, 0.1, 10.0)
+    kw = dict(levels=4, eps_sq=1.0, g_const=1.0, near_cap=16, radius=2,
+              deep_levels=6, tile_levels=2, tile_size=4, tile_count=8)
+    a_dense = np.asarray(b3._bh3_accelerations(pos, mass,
+                                               nf_sparse=False, **kw))
+    a_sparse = np.asarray(b3._bh3_accelerations(pos, mass,
+                                                nf_sparse=True, **kw))
+    assert np.isfinite(a_sparse).all()
+    assert np.allclose(a_dense, a_sparse, rtol=1e-4, atol=1e-6), (
+        np.abs(a_dense - a_sparse).max())
+
+
+def test_nf_sparse_promotion_beyond_cap(monkeypatch):
+    """Bucket-tier targets beyond the sparse capacity PROMOTE to the
+    deep path: bounded smoothed physics, never dropped forces."""
+    from nbodysim_tpu.physics import barneshut3d as b3
+    from nbodysim_tpu.physics.forces import direct_accelerations
+
+    n = 2048
+    k = jax.random.split(jax.random.PRNGKey(6), 4)
+    blob = 30.0 * jax.random.normal(k[0], (n // 2, 3))
+    bg = jax.random.uniform(k[2], (n // 2, 3), jnp.float32,
+                            -2000.0, 2000.0)
+    pos = jnp.concatenate([blob, bg]).astype(jnp.float32)
+    mass = jax.random.uniform(k[3], (n,), jnp.float32, 0.1, 10.0)
+    monkeypatch.setattr(b3, "_nf_sparse_cap", lambda n: 64)
+    jax.clear_caches()
+    a = np.asarray(b3._bh3_accelerations(
+        pos, mass, levels=4, eps_sq=1.0, g_const=1.0, near_cap=16,
+        radius=2, deep_levels=6, nf_sparse=True))
+    a_d = np.asarray(direct_accelerations(pos, mass, eps_sq=1.0,
+                                          g_const=1.0))
+    assert np.isfinite(a).all()
+    # promoted rows carry PM-smoothed forces — bounded, not dropped
+    assert np.linalg.norm(a, axis=1).max() < 10.0 * np.linalg.norm(
+        a_d, axis=1).max()
+    rel = (np.linalg.norm(a - a_d, axis=1)
+           / (np.linalg.norm(a_d, axis=1) + 1e-12))
+    assert np.median(rel) < 0.15, np.median(rel)
+    jax.clear_caches()
+
+
+def test_nf_sparse_auto_resolution():
+    """resolve_config_for_state pins bh_nf_sparse from the distribution:
+    ON for a deep-chain clustered 3D scene with few bucket-tier targets,
+    OFF when the deep chain stays off (uniform scene)."""
+    from nbodysim_tpu.physics.forces import _resolve_nf_sparse
+    from nbodysim_tpu.config import SimConfig
+
+    n = 4096
+    k = jax.random.split(jax.random.PRNGKey(8), 3)
+    # nearly everything in one tight blob -> deep on, few bucket-tier
+    # (the config pins the tree + deep chain the way the auto probe
+    # does at flagship N; the backend-size threshold is tested in
+    # test_forces)
+    blob = 10.0 * jax.random.normal(k[0], (n, 3)).astype(jnp.float32)
+    mass = jax.random.uniform(k[1], (n,), jnp.float32, 0.1, 10.0)
+    cfg = SimConfig(n=n, dim=3, force_backend="bh", bh_deep_levels=-1)
+    r = _resolve_nf_sparse(blob, mass, cfg)
+    assert r.bh_nf_sparse == 1, r.bh_nf_sparse
+
+    # uniform: the deep chain resolves but nearly every target is
+    # bucket-tier -> sparse stays off... n=4096 fits the 8192-target
+    # half-capacity, so spread the scene to exceed it instead.
+    big = jax.random.uniform(k[2], (32768, 3), jnp.float32,
+                             -2000.0, 2000.0)
+    bigm = jnp.ones((32768,), jnp.float32)
+    r2 = _resolve_nf_sparse(
+        big, bigm, SimConfig(n=32768, dim=3, force_backend="bh",
+                             bh_deep_levels=-1))
+    assert r2.bh_nf_sparse == 0, r2.bh_nf_sparse
+
+    # deep chain off -> sparse pinned off regardless of distribution
+    r3 = _resolve_nf_sparse(blob, mass,
+                            SimConfig(n=n, dim=3, force_backend="bh"))
+    assert r3.bh_nf_sparse == 0

@@ -358,3 +358,122 @@ def test_resolve_deep_levels():
     assert bh._resolve_deep_levels(cfg.replace(bh_deep_levels=12), 10) == 12
     # shallower-than-bucket request disables
     assert bh._resolve_deep_levels(cfg.replace(bh_deep_levels=5), 10) == 0
+
+
+def test_compact_indices_unit():
+    mask = jnp.array([False, True, True, False, True])
+    sidx, cnt = bh._compact_indices(mask, 2)
+    assert int(cnt) == 3
+    assert sidx.tolist() == [1, 2]
+    sidx4, _ = bh._compact_indices(mask, 4)
+    assert sidx4.tolist() == [1, 2, 4, 5]       # 5 = sentinel (= n)
+
+
+def test_tile_apply_compaction_parity(monkeypatch):
+    """r5: the tile apply evaluates a COMPACTED refined-candidate set
+    (the full-length pass discarded ~85% of its rows on the flagship
+    merger). Full-length, compacted, and overflow-fallback paths must
+    agree bitwise."""
+    n = 4096
+    pos, mass = _clustered(n)
+    cfg = SimConfig(n=n, bh_levels=5, bh_deep_levels=7, bh_tile_levels=3,
+                    bh_tile_size=16, force_backend="bh")
+    a_full = np.asarray(bh.bh_accelerations(pos, mass, cfg))
+
+    # Compacted: cap 90% of n engages unless >90% of rows refine (the
+    # scene's uniform background half never does).
+    monkeypatch.setattr(bh, "_refined_cap", lambda n: (9 * n) // 10)
+    jax.clear_caches()
+    a_compact = np.asarray(bh.bh_accelerations(pos, mass, cfg))
+    assert np.array_equal(a_full, a_compact)
+
+    # Overflow fallback: cap 16 certainly overflows -> lax.cond full pass.
+    monkeypatch.setattr(bh, "_refined_cap", lambda n: 16)
+    jax.clear_caches()
+    a_fb = np.asarray(bh.bh_accelerations(pos, mass, cfg))
+    assert np.array_equal(a_full, a_fb)
+
+    # Scatter-source compaction (r5): compacted sources and the
+    # overflow fallback must reproduce the full-length scatter bitwise.
+    monkeypatch.setattr(bh, "_refined_cap", lambda n: n)
+    monkeypatch.setattr(bh, "_scatter_cap", lambda n: (9 * n) // 10)
+    jax.clear_caches()
+    a_cs = np.asarray(bh.bh_accelerations(pos, mass, cfg))
+    assert np.array_equal(a_full, a_cs)
+    monkeypatch.setattr(bh, "_scatter_cap", lambda n: 16)
+    jax.clear_caches()
+    a_csf = np.asarray(bh.bh_accelerations(pos, mass, cfg))
+    assert np.array_equal(a_full, a_csf)
+    jax.clear_caches()      # drop traces that baked the patched caps
+
+
+def test_tile_apply_compaction_parity_3d(monkeypatch):
+    from nbodysim_tpu.physics import barneshut3d as b3
+
+    n = 4096
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    blob = 40.0 * jax.random.normal(k[0], (n // 2, 3)) + jnp.array(
+        [500.0, -300.0, 200.0])
+    bg = jax.random.uniform(k[2], (n // 2, 3), jnp.float32,
+                            -2000.0, 2000.0)
+    pos = jnp.concatenate([blob, bg]).astype(jnp.float32)
+    mass = jax.random.uniform(k[3], (n,), jnp.float32, 0.1, 10.0)
+    kw = dict(levels=4, eps_sq=EPS_SQ, g_const=1.0, near_cap=16, radius=2,
+              deep_levels=6, tile_levels=2, tile_size=4, tile_count=8)
+    a_full = np.asarray(b3._bh3_accelerations(pos, mass, **kw))
+    assert np.isfinite(a_full).all()
+
+    monkeypatch.setattr(b3, "_refined_cap3", lambda n: (9 * n) // 10)
+    jax.clear_caches()
+    a_compact = np.asarray(b3._bh3_accelerations(pos, mass, **kw))
+    assert np.array_equal(a_full, a_compact)
+
+    monkeypatch.setattr(b3, "_refined_cap3", lambda n: 16)
+    jax.clear_caches()
+    a_fb = np.asarray(b3._bh3_accelerations(pos, mass, **kw))
+    assert np.array_equal(a_full, a_fb)
+
+    monkeypatch.setattr(b3, "_refined_cap3", lambda n: n)
+    monkeypatch.setattr(b3, "_scatter_cap3", lambda n: (9 * n) // 10)
+    jax.clear_caches()
+    a_cs = np.asarray(b3._bh3_accelerations(pos, mass, **kw))
+    assert np.array_equal(a_full, a_cs)
+    monkeypatch.setattr(b3, "_scatter_cap3", lambda n: 16)
+    jax.clear_caches()
+    a_csf = np.asarray(b3._bh3_accelerations(pos, mass, **kw))
+    assert np.array_equal(a_full, a_csf)
+    jax.clear_caches()
+
+
+def test_packed_aggregates_bitwise_parity():
+    """r5: the packed (lane-widened) deep near-aggregate variants must be
+    bitwise-identical to the per-offset gather form (same f32 ops in the
+    same accumulation order) — 2D and 3D."""
+    from nbodysim_tpu.physics import barneshut3d as b3
+
+    key = jax.random.split(jax.random.PRNGKey(7), 6)
+    n, r = 512, 16
+    # 2D
+    g3 = jax.random.normal(key[0], (r, r, 3), jnp.float32)
+    g3 = g3.at[..., 0].set(jnp.abs(g3[..., 0]))
+    g3_pad = jnp.pad(g3, ((1, 1), (1, 1), (0, 0)))
+    ci = jax.random.randint(key[1], (n, 2), 0, r)
+    pos = jax.random.normal(key[2], (n, 2), jnp.float32) * r
+    payload = jnp.zeros((n, 3), jnp.float32)
+    a_old = np.asarray(bh._deep_near_aggregates(
+        pos, payload, g3_pad, ci, 1.0, 2.0, rr=1))
+    a_new = np.asarray(bh._deep_near_aggregates_packed(
+        pos, payload, g3_pad, ci, 1.0, 2.0))
+    assert np.array_equal(a_old, a_new)
+    # 3D
+    g4 = jax.random.normal(key[3], (r, r, r, 4), jnp.float32)
+    g4 = g4.at[..., 0].set(jnp.abs(g4[..., 0]))
+    g4_pad = jnp.pad(g4, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    ci3 = jax.random.randint(key[4], (n, 3), 0, r)
+    pos3 = jax.random.normal(key[5], (n, 3), jnp.float32) * r
+    payload3 = jnp.zeros((n, 4), jnp.float32)
+    b_old = np.asarray(b3._deep_near_aggregates3(
+        pos3, payload3, g4_pad, ci3, 1.0, 2.0, rr=1))
+    b_new = np.asarray(b3._deep_near_aggregates3_packed(
+        pos3, payload3, g4_pad, ci3, 1.0, 2.0))
+    assert np.array_equal(b_old, b_new)
