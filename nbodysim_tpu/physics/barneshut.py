@@ -819,6 +819,14 @@ def _compact_indices(mask, cap: int):
     return sidx, jnp.sum(mask)
 
 
+def _deep_rows_cap(n: int) -> int:
+    """Static row capacity for the compacted deep L2P + aggregate pass
+    when tiles are on (rows the tile stage will NOT refine: ~71% on the
+    flagship N=4M merger, so 3n/4 holds; lax.cond falls back to the full
+    pass beyond it)."""
+    return max((3 * n) // 4, 4096)
+
+
 def _refined_cap(n: int) -> int:
     """Static row capacity for the compacted tile-apply pass. The refined
     set is the deep-path targets inside the T selected tiles — measured
@@ -1480,18 +1488,55 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
         local_agg = _fold_aggregate_ring(
             local_deep, wring, corner, size, 1 << deep, eps_sq, radius,
             row0=jnp.int32(0), rows=1 << deep)
-        far_deep = g_const * _l2p_eval(local_agg, ci_f, pos, corner,
-                                       size, deep)
         g3_pad = jnp.pad(jnp.stack(grids[deep][:3], axis=-1),
                          ((rin, rin), (rin, rin), (0, 0)))
-        if rin == 1:
-            deep_near = g_const * _deep_near_aggregates_packed(
-                pos, payload[:, :3], g3_pad, ci_f, eps_sq,
-                size / (1 << deep))
+
+        def _deep_rows(pos_r, ci_r, pay_r):
+            """Deep-path L2P + smoothed aggregates for the given rows
+            (per-row independent, so compaction keeps bitwise parity)."""
+            far_r = g_const * _l2p_eval(local_agg, ci_r, pos_r, corner,
+                                        size, deep)
+            if rin == 1:
+                near_r = g_const * _deep_near_aggregates_packed(
+                    pos_r, pay_r, g3_pad, ci_r, eps_sq,
+                    size / (1 << deep))
+            else:
+                near_r = g_const * _deep_near_aggregates(
+                    pos_r, pay_r, g3_pad, ci_r, eps_sq,
+                    size / (1 << deep), rr=rin)
+            return far_r, near_r
+
+        dcap = _deep_rows_cap(n) if tile_levels else n
+        if tile_levels and dcap < n:
+            # Deep-row compaction (r5): rows the tile stage refines
+            # discard far_deep/deep_near (`refined` equals this `cand`
+            # exactly — see _tile_apply), so the L2P gather + aggregate
+            # window run only on b_par & ~cand rows (~71% on the
+            # flagship N=4M merger).
+            tid_d, tile_slot_d, _orig_d = _tile_select(
+                ci_f, b_par, deep, tile_size, tile_count, radius)
+            cand_d = (tile_slot_d[tid_d] < tile_count) & b_par
+            need_d = b_par & ~cand_d
+            sidx_d, n_need = _compact_indices(need_d, dcap)
+
+            def compact_deep(_):
+                valid_d = sidx_d < n
+                sd = jnp.minimum(sidx_d, n - 1)
+                far_r, near_r = _deep_rows(pos[sd], ci_f[sd],
+                                           payload[sd, :3])
+                tgt = jnp.where(valid_d, sd, n)
+                return (jnp.zeros_like(pos).at[tgt].set(far_r,
+                                                        mode="drop"),
+                        jnp.zeros_like(pos).at[tgt].set(near_r,
+                                                        mode="drop"))
+
+            def full_deep(_):
+                return _deep_rows(pos, ci_f, payload[:, :3])
+
+            far_deep, deep_near = lax.cond(n_need <= dcap, compact_deep,
+                                           full_deep, 0)
         else:
-            deep_near = g_const * _deep_near_aggregates(
-                pos, payload[:, :3], g3_pad, ci_f, eps_sq,
-                size / (1 << deep), rr=rin)
+            far_deep, deep_near = _deep_rows(pos, ci_f, payload[:, :3])
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)
 

@@ -54,6 +54,7 @@ from nbodysim_tpu.physics.barneshut import (
     NEAR_CAP,
     _OVERFLOW_CAP,
     _OVERFLOW_SMALL,
+    _compact_indices,
     _extract_heavy_outliers,
     _near_masked_blocked,
     heavy_coupling,
@@ -1447,6 +1448,21 @@ def _nf_sparse_cap(n: int) -> int:
     return min(n, _NF_SPARSE_CAP)
 
 
+def _nf_sparse_src_cap(n: int) -> int:
+    """Static source capacity of the sparse near-field pass (non-hot-cell
+    residents; see _bh3_accelerations). Overflow falls back to streaming
+    all N sources — correct, just unshaved."""
+    return min(n, 8 * _NF_SPARSE_CAP)
+
+
+def _deep_rows_cap3(n: int) -> int:
+    """Static row capacity for the compacted deep L2P + aggregate pass
+    when tiles are on (rows the tile stage will NOT refine: measured 54%
+    at clustered N=1M, so 3n/4 holds with margin; lax.cond falls back to
+    the full pass beyond it)."""
+    return max((3 * n) // 4, 4096)
+
+
 @functools.partial(jax.jit, static_argnames=("levels", "eps_sq", "g_const",
                                              "near_cap", "radius",
                                              "nf_pallas", "interpret",
@@ -1563,8 +1579,32 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                 .set(jnp.arange(n, dtype=jnp.int32), mode="drop"))
         valid_nf = sidx < n
         si = jnp.minimum(sidx, n - 1)
-        t_acc = _near_masked_blocked(
-            pos[si], ci[si], bulk_pos, tree_mass, ci, eps_sq, radius - 1)
+        # Source compaction (r5): a ~b_par target has NO hot cell within
+        # its Chebyshev (radius-1) window, so every source its masked
+        # pass can accept lives in a non-hot cell — streaming all N
+        # sources (16k x 1M masked pairs at clustered N=1M) is almost
+        # entirely discarded work. Compact sources to the non-hot-cell
+        # residents; lax.cond falls back to the full-source pass when
+        # they overflow the static capacity.
+        src_nf = ~hot.reshape(-1)[flat]
+        scap_nf = _nf_sparse_src_cap(n)
+        sidx_s, n_srcs = _compact_indices(src_nf, scap_nf)
+
+        def compact_src(_):
+            valid_s = sidx_s < n
+            ss = jnp.minimum(sidx_s, n - 1)
+            return _near_masked_blocked(
+                pos[si], ci[si], bulk_pos[ss],
+                jnp.where(valid_s, tree_mass[ss], 0.0), ci[ss],
+                eps_sq, radius - 1)
+
+        def full_src(_):
+            return _near_masked_blocked(
+                pos[si], ci[si], bulk_pos, tree_mass, ci, eps_sq,
+                radius - 1)
+
+        t_acc = (lax.cond(n_srcs <= scap_nf, compact_src, full_src, 0)
+                 if scap_nf < n else full_src(0))
         near = (jnp.zeros_like(pos)
                 .at[jnp.where(valid_nf, si, n)]
                 .set(g_const * t_acc, mode="drop"))
@@ -1590,21 +1630,59 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
                 radius, row0=jnp.int32(0), rows=1 << deep)
         else:
             local_agg = local_deep
-        far_deep = g_const * _l2p_eval3(local_agg, ci_f, pos, corner,
-                                        size, deep)
         # Stack only the 4 aggregate channels, padded, channel-last: the
         # row-gather consumer (`_aggregate_window_eval3`) wants [M, 4]
         # rows, which XLA lays out flat-minor (measured fine in 2D).
         g4_pad = jnp.stack([jnp.pad(grids[deep][i], rin)
                             for i in range(4)], axis=-1)
-        if rin == 1:
-            deep_near = g_const * _deep_near_aggregates3_packed(
-                pos, payload[:, :4], g4_pad, ci_f, eps_sq,
-                size / (1 << deep))
+
+        def _deep_rows(pos_r, ci_r, pay_r):
+            """Deep-path L2P + smoothed aggregates for the given rows
+            (per-row independent, so compaction keeps bitwise parity)."""
+            far_r = g_const * _l2p_eval3(local_agg, ci_r, pos_r, corner,
+                                         size, deep)
+            if rin == 1:
+                near_r = g_const * _deep_near_aggregates3_packed(
+                    pos_r, pay_r, g4_pad, ci_r, eps_sq,
+                    size / (1 << deep))
+            else:
+                near_r = g_const * _deep_near_aggregates3(
+                    pos_r, pay_r, g4_pad, ci_r, eps_sq,
+                    size / (1 << deep), rr=rin)
+            return far_r, near_r
+
+        dcap = _deep_rows_cap3(n) if tile_levels else n
+        if tile_levels and dcap < n:
+            # Deep-row compaction (r5): rows refined by the tile stage
+            # discard far_deep/deep_near (the tile output overrides them
+            # — `refined` below equals this `cand` exactly, see
+            # _tile_apply3), so the L2P gather + aggregate window run
+            # only on b_par & ~cand rows (54% at clustered N=1M; the
+            # full-length passes were ~0.29 s of discarded work).
+            tid_d, tile_slot_d, _orig_d = _tile_select3(
+                ci_f, b_par, deep, tile_size, tile_count, radius)
+            cand_d = (tile_slot_d[tid_d] < tile_count) & b_par
+            need_d = b_par & ~cand_d
+            sidx_d, n_need = _compact_indices(need_d, dcap)
+
+            def compact_deep(_):
+                valid_d = sidx_d < n
+                sd = jnp.minimum(sidx_d, n - 1)
+                far_r, near_r = _deep_rows(pos[sd], ci_f[sd],
+                                           payload[sd, :4])
+                tgt = jnp.where(valid_d, sd, n)
+                return (jnp.zeros_like(pos).at[tgt].set(far_r,
+                                                        mode="drop"),
+                        jnp.zeros_like(pos).at[tgt].set(near_r,
+                                                        mode="drop"))
+
+            def full_deep(_):
+                return _deep_rows(pos, ci_f, payload[:, :4])
+
+            far_deep, deep_near = lax.cond(n_need <= dcap, compact_deep,
+                                           full_deep, 0)
         else:
-            deep_near = g_const * _deep_near_aggregates3(
-                pos, payload[:, :4], g4_pad, ci_f, eps_sq,
-                size / (1 << deep), rr=rin)
+            far_deep, deep_near = _deep_rows(pos, ci_f, payload[:, :4])
         far = jnp.where(b_par[:, None], far_deep, far)
         near = jnp.where(b_par[:, None], deep_near, near)
 

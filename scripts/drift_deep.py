@@ -6,9 +6,18 @@ Plummer clouds of 0.3 deep-cell widths), so the integrated system is a
 SMOOTHED Hamiltonian: exact-energy drift is expected to plateau at the
 level of the smoothing correction, not at the leapfrog's ~1e-6. The gate
 of record for this run is |dE/E| of the EXACT energy staying bounded
-(< 1e-2) and trend-free over 10k steps."""
+(< 1e-2) and trend-free over 10k steps.
+
+r5 (VERDICT r4 #9): --steps 100000 runs the horizon BASELINE config 5
+actually names (100k steps; still N=65k — the 4M whole-graph harness is
+the relay-killing compile class, CLAUDE.md)."""
+import argparse
 import sys, time
 sys.path.insert(0, "/root/repo")
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--steps", type=int, default=10_000)
+args = ap.parse_args()
 
 import numpy as np
 import nbodysim_tpu as nb
@@ -27,7 +36,7 @@ print(f"N={N} deep+tiles merger drift; E0 = {e0:.6e}", flush=True)
 roll = make_rollout(cfg, 500)
 t0 = time.perf_counter()
 worst = 0.0
-for chunk in range(20):
+for chunk in range(max(args.steps // 500, 1)):
     state = roll(state)
     d = diagnostics(state, cfg)
     e = float(d.total_energy)
@@ -36,5 +45,5 @@ for chunk in range(20):
     print(f"step {int(state.frame):6d}  E {e:+.6e}  |dE/E| {drift:.3e}  "
           f"|p| {float(np.linalg.norm(d.momentum)):.3e}  "
           f"({(time.perf_counter()-t0):.0f}s)", flush=True)
-print(f"RESULT worst |dE/E| over 10k steps: {worst:.3e}  (bound 1e-2)",
-      flush=True)
+print(f"RESULT worst |dE/E| over {int(state.frame)} steps: {worst:.3e}  "
+      f"(bound 1e-2)", flush=True)

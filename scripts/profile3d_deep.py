@@ -154,6 +154,40 @@ def main():
     print(json.dumps({"stage": "nf_sparse resolved", "on": bool(nf_sparse)}),
           flush=True)
 
+    # ---- sparse NF pass (r5: compacted targets x compacted sources) ----
+    if nf_sparse:
+        def hotflags(flat_nf_):
+            occ = jnp.zeros((res**3,), jnp.int32).at[flat_nf_].add(
+                1, mode="drop")
+            return (occ > b3.NEAR_CAP)[flat]
+
+        in_hot = jax.jit(hotflags)(jax.device_put(flat_nf))
+        cand_nf = ~in_hot  # superset stand-in for ~b_par (same order)
+        cap_nf = b3._nf_sparse_cap(n)
+        scap_nf = b3._nf_sparse_src_cap(n)
+        from nbodysim_tpu.physics.barneshut import _compact_indices
+
+        sidx_t, n_t = jax.jit(
+            lambda c: _compact_indices(c, cap_nf))(cand_nf)
+        sidx_s, n_s = jax.jit(
+            lambda c: _compact_indices(c, scap_nf))(cand_nf)
+        print(json.dumps({"stage": "nf_sparse occupancy",
+                          "targets": int(n_t), "cap": cap_nf,
+                          "sources": int(n_s), "src_cap": scap_nf}),
+              flush=True)
+        si_t = jnp.minimum(jax.device_put(sidx_t), n - 1)
+        si_s = jnp.minimum(jax.device_put(sidx_s), n - 1)
+        vs = jax.device_put(sidx_s < n)
+
+        def sparse_nf(pos_, tm_):
+            return b3._near_masked_blocked(
+                pos_[si_t], ci[si_t], pos_[si_s],
+                jnp.where(vs, tm_[si_s], 0.0), ci[si_s], eps_sq,
+                radius - 1)
+
+        time_stage("sparse NF (compact tgts x compact srcs)", sparse_nf,
+                   (bulk_pos, tree_mass), reps=args.reps)
+
     # ---- outlier couplings (r5: were untimed whole-vs-sum gap) ---------
     from nbodysim_tpu.kernels.allpairs import allpairs_accelerations
 

@@ -148,6 +148,42 @@ def main():
     time_stage("tile apply (gather+taylor+window)", apply_,
                (pos, payload, local_w, g4k), reps=args.reps)
 
+    # ---- shipped compacted paths (r5) ----------------------------------
+    from nbodysim_tpu.physics.barneshut import _compact_indices
+
+    cand = (tile_slot[tid] < tc) & b_par
+    n_cand = int(jnp.sum(cand))
+    cap = b3._refined_cap3(n)
+    src = jax.jit(lambda c: b3._tile_src_mask3(c, tile_slot, deep,
+                                               radius, tt, tc))(ci_f)
+    n_src = int(jnp.sum(src))
+    s_cap = b3._scatter_cap3(n)
+    print(json.dumps({"stage": "compaction occupancy",
+                      "refined_cand": n_cand, "refined_cap": cap,
+                      "scatter_src": n_src, "scatter_cap": s_cap}),
+          flush=True)
+
+    sidx, _ = jax.jit(lambda c: _compact_indices(c, cap))(cand)
+    si = jnp.minimum(jax.device_put(sidx), n - 1)
+
+    def apply_compact(pos_, payload_, local_w_, g4k_):
+        valid = sidx < n
+        return b3._tile_apply3(pos_[si], payload_[si], bulk_pos[si],
+                               ci_f[si], b_par[si] & valid, local_w_,
+                               g4k_, tile_slot, orig, corner_, size_,
+                               deep, radius, eps_sq, tk, tt, tc)
+
+    time_stage("tile apply COMPACT (cap rows)", apply_compact,
+               (pos, payload, local_w, g4k), reps=args.reps)
+
+    lw_deep = jnp.zeros(((1 << deep),) * 3, jnp.float32)
+    local_deep = tuple(lw_deep for _ in range(19))
+    time_stage("tile eval3 SHIPPED (compact scatter+chain+apply)",
+               lambda p, pay: b3._tile_refine3(
+                   p, pay, bulk_pos, ci_f, b_par, local_deep, corner_,
+                   size_, deep, radius, eps_sq, k=tk, t=tt, T=tc),
+               (pos, payload), reps=args.reps)
+
 
 if __name__ == "__main__":
     main()

@@ -259,6 +259,39 @@ def test_nf_sparse_matches_dense():
         np.abs(a_dense - a_sparse).max())
 
 
+def test_nf_sparse_source_compaction(monkeypatch):
+    """r5: the sparse near field streams only non-hot-cell sources (a
+    ~b_par target's window cannot contain a hot cell); compacted and
+    full-source passes must match to roundoff, and a tiny source cap
+    must fall back to the full pass bitwise."""
+    from nbodysim_tpu.physics import barneshut3d as b3
+
+    n = 4096
+    k = jax.random.split(jax.random.PRNGKey(5), 4)
+    blob = 30.0 * jax.random.normal(k[0], (n // 2, 3)) + jnp.array(
+        [500.0, -300.0, 200.0])
+    bg = jax.random.uniform(k[2], (n // 2, 3), jnp.float32,
+                            -2000.0, 2000.0)
+    pos = jnp.concatenate([blob, bg]).astype(jnp.float32)
+    mass = jax.random.uniform(k[3], (n,), jnp.float32, 0.1, 10.0)
+    kw = dict(levels=4, eps_sq=1.0, g_const=1.0, near_cap=16, radius=2,
+              deep_levels=6, tile_levels=2, tile_size=4, tile_count=8,
+              nf_sparse=True)
+    a_full = np.asarray(b3._bh3_accelerations(pos, mass, **kw))
+
+    monkeypatch.setattr(b3, "_nf_sparse_src_cap",
+                        lambda n: (9 * n) // 10)
+    jax.clear_caches()
+    a_cs = np.asarray(b3._bh3_accelerations(pos, mass, **kw))
+    assert np.allclose(a_full, a_cs, rtol=1e-5, atol=1e-7)
+
+    monkeypatch.setattr(b3, "_nf_sparse_src_cap", lambda n: 16)
+    jax.clear_caches()
+    a_fb = np.asarray(b3._bh3_accelerations(pos, mass, **kw))
+    assert np.array_equal(a_full, a_fb)
+    jax.clear_caches()
+
+
 def test_nf_sparse_promotion_beyond_cap(monkeypatch):
     """Bucket-tier targets beyond the sparse capacity PROMOTE to the
     deep path: bounded smoothed physics, never dropped forces."""

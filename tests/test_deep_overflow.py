@@ -445,6 +445,54 @@ def test_tile_apply_compaction_parity_3d(monkeypatch):
     jax.clear_caches()
 
 
+def test_deep_rows_compaction_parity(monkeypatch):
+    """r5: with tiles on, the deep L2P + aggregate pass runs only on
+    b_par & ~refined rows (refined rows discard both — the tile output
+    overrides them). Compacted, overflow-fallback, and full paths must
+    agree bitwise, in 2D and 3D."""
+    from nbodysim_tpu.physics import barneshut3d as b3
+
+    n = 4096
+    pos, mass = _clustered(n)
+    cfg = SimConfig(n=n, bh_levels=5, bh_deep_levels=7, bh_tile_levels=3,
+                    bh_tile_size=16, force_backend="bh")
+    a_full = np.asarray(bh.bh_accelerations(pos, mass, cfg))
+
+    monkeypatch.setattr(bh, "_deep_rows_cap", lambda n: (9 * n) // 10)
+    jax.clear_caches()
+    a_compact = np.asarray(bh.bh_accelerations(pos, mass, cfg))
+    assert np.array_equal(a_full, a_compact)
+
+    monkeypatch.setattr(bh, "_deep_rows_cap", lambda n: 16)
+    jax.clear_caches()
+    a_fb = np.asarray(bh.bh_accelerations(pos, mass, cfg))
+    assert np.array_equal(a_full, a_fb)
+    jax.clear_caches()
+
+    k = jax.random.split(jax.random.PRNGKey(3), 4)
+    blob = 40.0 * jax.random.normal(k[0], (n // 2, 3)) + jnp.array(
+        [500.0, -300.0, 200.0])
+    bg = jax.random.uniform(k[2], (n // 2, 3), jnp.float32,
+                            -2000.0, 2000.0)
+    pos3 = jnp.concatenate([blob, bg]).astype(jnp.float32)
+    mass3 = jax.random.uniform(k[3], (n,), jnp.float32, 0.1, 10.0)
+    kw = dict(levels=4, eps_sq=EPS_SQ, g_const=1.0, near_cap=16, radius=2,
+              deep_levels=6, tile_levels=2, tile_size=4, tile_count=8)
+    b_full = np.asarray(b3._bh3_accelerations(pos3, mass3, **kw))
+    assert np.isfinite(b_full).all()
+
+    monkeypatch.setattr(b3, "_deep_rows_cap3", lambda n: (9 * n) // 10)
+    jax.clear_caches()
+    b_compact = np.asarray(b3._bh3_accelerations(pos3, mass3, **kw))
+    assert np.array_equal(b_full, b_compact)
+
+    monkeypatch.setattr(b3, "_deep_rows_cap3", lambda n: 16)
+    jax.clear_caches()
+    b_fb = np.asarray(b3._bh3_accelerations(pos3, mass3, **kw))
+    assert np.array_equal(b_full, b_fb)
+    jax.clear_caches()
+
+
 def test_packed_aggregates_bitwise_parity():
     """r5: the packed (lane-widened) deep near-aggregate variants must be
     bitwise-identical to the per-offset gather form (same f32 ops in the
