@@ -920,13 +920,21 @@ def _deep_near_aggregates_packed(pos, payload, g3_pad, ci_deep, eps_sq,
     r = side - 2
     gy = jnp.concatenate([g3_pad[:, :-2, :], g3_pad[:, 1:-1, :],
                           g3_pad[:, 2:, :]], axis=-1)       # [r+2, r, 9]
-    gy = gy.reshape(-1, 9)
     base = (ci_deep[:, 0] + 1) * r + ci_deep[:, 1]
+    return _packed_mono_window(gy.reshape(-1, 9), base, r, payload, pos,
+                               eps_sq)
+
+
+def _packed_mono_window(gy9, base, yin, payload, pos, eps_sq):
+    """3-gather y-packed 3x3 monopole window kick. gy9: [M, 9] rows of 3
+    y-neighbor (m, sx, sy) cells; base: [N] home row (y inner-unpadded,
+    stride yin). eps_sq arrives ALREADY widened. Accumulation order
+    matches _aggregate_window_eval (ox, oy) bitwise."""
     px, py = pos[:, 0], pos[:, 1]
     ax = jnp.zeros_like(px)
     ay = jnp.zeros_like(py)
     for ox in (-1, 0, 1):
-        rows = gy[base + ox * r]                            # [N, 9]
+        rows = gy9[base + ox * yin]                         # [N, 9]
         for j, oy in enumerate((-1, 0, 1)):
             ch = rows[:, 3 * j:3 * j + 3]
             if ox == 0 and oy == 0:
@@ -1275,10 +1283,20 @@ def _tile_apply(pos, payload, bulk_pos, ci_f, b_par, local_w, g3k,
     rin = min(radius - 1, 1)   # inner 3x3; the ring folded into local_w
     g3kp = jnp.pad(g3k, ((0, 0), (rin, rin), (rin, rin), (0, 0)))
     stride = Wf + 2 * rin
-    base = (sc * stride + rel[:, 0] + rin) * stride + rel[:, 1] + rin
-    near_ref = _aggregate_window_eval(
-        g3kp.reshape(-1, 3), base, stride, payload[:, :3], pos,
-        eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
+    if rin == 1:
+        # y-packed 3-gather window (r5): same lane-utilization shave as
+        # _deep_near_aggregates_packed.
+        gy = jnp.concatenate([g3kp[..., :-2, :], g3kp[..., 1:-1, :],
+                              g3kp[..., 2:, :]], axis=-1)
+        base_p = (sc * stride + rel[:, 0] + rin) * Wf + rel[:, 1]
+        near_ref = _packed_mono_window(
+            gy.reshape(-1, 9), base_p, Wf, payload[:, :3], pos,
+            eps_sq + _DEEP_SMOOTH * s_k * s_k)
+    else:
+        base = (sc * stride + rel[:, 0] + rin) * stride + rel[:, 1] + rin
+        near_ref = _aggregate_window_eval(
+            g3kp.reshape(-1, 3), base, stride, payload[:, :3], pos,
+            eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
     return refined, far_ref, near_ref
 
 

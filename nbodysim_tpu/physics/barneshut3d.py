@@ -907,16 +907,25 @@ def _deep_near_aggregates3_packed(pos, payload, g4_pad, ci_deep, eps_sq,
     r = side - 2
     gz = jnp.concatenate([g4_pad[:, :, :-2, :], g4_pad[:, :, 1:-1, :],
                           g4_pad[:, :, 2:, :]], axis=-1)  # [r+2, r+2, r, 12]
-    gz = gz.reshape(-1, 12)
     base = ((ci_deep[:, 0] + 1) * side + ci_deep[:, 1] + 1) * r \
         + ci_deep[:, 2]
+    return _packed_mono_window3(gz.reshape(-1, 12), base, side, r,
+                                payload, pos, eps_sq)
+
+
+def _packed_mono_window3(gz12, base, side, zin, payload, pos, eps_sq):
+    """9-gather z-packed 3^3 monopole window kick. gz12: [M, 12] rows of
+    3 z-neighbor (m, sx, sy, sz) cells; base: [N] home row (z already
+    inner-unpadded, stride zin; x stride side*zin). eps_sq arrives
+    ALREADY widened. Accumulation order matches _aggregate_window_eval3
+    (ox, oy, oz) bitwise."""
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     ax = jnp.zeros_like(px)
     ay = jnp.zeros_like(py)
     az = jnp.zeros_like(pz)
     for ox in (-1, 0, 1):
         for oy in (-1, 0, 1):
-            rows = gz[base + (ox * side + oy) * r]            # [N, 12]
+            rows = gz12[base + (ox * side + oy) * zin]        # [N, 12]
             for j, oz in enumerate((-1, 0, 1)):
                 ch = rows[:, 4 * j:4 * j + 4]
                 if ox == 0 and oy == 0 and oz == 0:
@@ -1258,11 +1267,23 @@ def _tile_apply3(pos, payload, bulk_pos, ci_f, b_par, local_w, g4k,
     g4kp = jnp.pad(g4k, ((0, 0), (rin, rin), (rin, rin), (rin, rin),
                          (0, 0)))
     side = Wf + 2 * rin
-    base = (((sc * side) + rel[:, 0] + rin) * side + rel[:, 1] + rin
-            ) * side + rel[:, 2] + rin
-    near_ref = _aggregate_window_eval3(
-        g4kp.reshape(-1, 4), base, side, payload[:, :4], pos,
-        eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
+    if rin == 1:
+        # z-packed 9-gather window (r5): same lane-utilization shave as
+        # _deep_near_aggregates3_packed — the 27 4-lane row gathers were
+        # the apply's dominant cost at clustered N=1M.
+        gz = jnp.concatenate([g4kp[..., :-2, :], g4kp[..., 1:-1, :],
+                              g4kp[..., 2:, :]], axis=-1)
+        base_p = (((sc * side) + rel[:, 0] + rin) * side
+                  + rel[:, 1] + rin) * Wf + rel[:, 2]
+        near_ref = _packed_mono_window3(
+            gz.reshape(-1, 12), base_p, side, Wf, payload[:, :4], pos,
+            eps_sq + _DEEP_SMOOTH * s_k * s_k)
+    else:
+        base = (((sc * side) + rel[:, 0] + rin) * side + rel[:, 1] + rin
+                ) * side + rel[:, 2] + rin
+        near_ref = _aggregate_window_eval3(
+            g4kp.reshape(-1, 4), base, side, payload[:, :4], pos,
+            eps_sq + _DEEP_SMOOTH * s_k * s_k, rin)
     return refined, far_ref, near_ref
 
 

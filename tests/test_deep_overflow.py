@@ -525,3 +525,30 @@ def test_packed_aggregates_bitwise_parity():
     b_new = np.asarray(b3._deep_near_aggregates3_packed(
         pos3, payload3, g4_pad, ci3, 1.0, 2.0))
     assert np.array_equal(b_old, b_new)
+
+    # The shared packed helpers must match _aggregate_window_eval* given
+    # the SAME flattened grid (the tile apply's rin=1 path wires them
+    # with per-tile strides; this pins the helper math bitwise).
+    side = r + 2
+    g2flat = jnp.pad(g3, ((1, 1), (1, 1), (0, 0)))
+    base2 = (ci[:, 0] + 1) * side + ci[:, 1] + 1
+    w_old = np.asarray(bh._aggregate_window_eval(
+        g2flat.reshape(-1, 3), base2, side, payload, pos, 1.0, 1))
+    gy = jnp.concatenate([g2flat[:, :-2, :], g2flat[:, 1:-1, :],
+                          g2flat[:, 2:, :]], axis=-1)
+    basep2 = (ci[:, 0] + 1) * r + ci[:, 1]
+    w_new = np.asarray(bh._packed_mono_window(
+        gy.reshape(-1, 9), basep2, r, payload, pos, 1.0))
+    assert np.array_equal(w_old, w_new)
+
+    g3flat = jnp.pad(g4, ((1, 1), (1, 1), (1, 1), (0, 0)))
+    base3 = ((ci3[:, 0] + 1) * side + ci3[:, 1] + 1) * side \
+        + ci3[:, 2] + 1
+    v_old = np.asarray(b3._aggregate_window_eval3(
+        g3flat.reshape(-1, 4), base3, side, payload3, pos3, 1.0, 1))
+    gz = jnp.concatenate([g3flat[:, :, :-2, :], g3flat[:, :, 1:-1, :],
+                          g3flat[:, :, 2:, :]], axis=-1)
+    basep3 = ((ci3[:, 0] + 1) * side + ci3[:, 1] + 1) * r + ci3[:, 2]
+    v_new = np.asarray(b3._packed_mono_window3(
+        gz.reshape(-1, 12), basep3, side, r, payload3, pos3, 1.0))
+    assert np.array_equal(v_old, v_new)
