@@ -61,7 +61,6 @@ def _allpairs_kernel(
     *,
     dim: int,
     eps_sq: float,
-    g_const: float,
 ):
     j = pl.program_id(1)
 
@@ -74,13 +73,16 @@ def _allpairs_kernel(
     m = mass_ref[:]                       # [1, BS]
 
     diffs = []
-    d_sq = jnp.zeros((tgt.shape[0], src.shape[1]), jnp.float32)
+    # eps^2 seeds the accumulator instead of being added after the fma
+    # chain — one VPU op/pair fewer on a ~14 op/pair kernel (the kernel
+    # is VPU-op-rate-bound; see the roofline note in STATUS.md).
+    d_sq = jnp.full((tgt.shape[0], src.shape[1]), eps_sq, jnp.float32)
     for d in range(dim):
         diff = src[d : d + 1, :] - tgt[:, d : d + 1]     # [BT, BS]
         diffs.append(diff)
         d_sq = d_sq + diff * diff
 
-    inv = lax.rsqrt(d_sq + eps_sq)
+    inv = lax.rsqrt(d_sq)
     w = m * (inv * inv * inv)                            # [BT, BS]
     if eps_sq == 0.0:
         # Only needed unsoftened: rsqrt(0) = inf would make w*diff NaN.
@@ -96,7 +98,8 @@ def _allpairs_kernel(
     acc = jnp.concatenate(
         [jnp.sum(w * diff, axis=1, keepdims=True) for diff in diffs], axis=1
     )                                                    # [BT, D]
-    out_ref[:] += g_const * acc
+    # g_const is pre-folded into the source masses by the caller.
+    out_ref[:] += acc
 
 
 @functools.partial(
@@ -143,12 +146,14 @@ def allpairs_accelerations(
     n_s = _cdiv(n_src, bs) * bs
     tgt = jnp.pad(pos, ((0, n_t - n), (0, 0)))
     srcT = jnp.pad(src_pos, ((0, n_s - n_src), (0, 0))).T  # [D, n_s]
-    m_row = jnp.pad(src_mass, (0, n_s - n_src))[None, :]   # [1, n_s]
+    # G folds into the source masses (one [1, n_s] scale here) so the
+    # kernel skips the per-block output scale.
+    m_row = (g_const * jnp.pad(src_mass, (0, n_s - n_src)))[None, :]
 
     grid = (n_t // bt, n_s // bs)
 
     kernel = functools.partial(
-        _allpairs_kernel, dim=dim, eps_sq=float(eps_sq), g_const=float(g_const)
+        _allpairs_kernel, dim=dim, eps_sq=float(eps_sq)
     )
 
     flops_per_pair = 10 + 2 * (dim + 1)

@@ -908,36 +908,44 @@ def _deep_near_aggregates(pos, payload, gp, ci_deep, eps_sq, s_d,
 
 def _deep_near_aggregates_packed(pos, payload, g3_pad, ci_deep, eps_sq,
                                  s_d):
-    """y-packed variant of _deep_near_aggregates for the single-chip
+    """Fully packed variant of _deep_near_aggregates for the single-chip
     rin=1 window (see barneshut3d._deep_near_aggregates3_packed for the
-    lane-utilization rationale): pack the 3 y-neighbor monopole cells
-    into 9-lane rows with one dense concat, cutting the per-particle
-    gathers from 9 to 3. g3_pad: [r+2, r+2, 3] rin=1-padded (m, sx, sy)
-    grids. Accumulation order matches _aggregate_window_eval (ox, oy)
+    lane-utilization rationale): pack all 9 3x3-window monopole cells
+    into 27-lane rows with two dense concats, cutting the per-particle
+    gathers from 9 (r4) / 3 (early r5) to ONE — TPU gathers are
+    row-rate-bound (~20-25M rows/s measured), so gather count, not
+    gathered bytes, is the cost. g3_pad: [r+2, r+2, 3] rin=1-padded
+    (m, sx, sy) grids; the [r, r, 27] packed grid is 3x the y-packed
+    temp (1.8 GB at the flagship's r=4096 — measured to fit beside the
+    4M step). Accumulation order matches _aggregate_window_eval (ox, oy)
     bitwise."""
     eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
     side = g3_pad.shape[0]
     r = side - 2
     gy = jnp.concatenate([g3_pad[:, :-2, :], g3_pad[:, 1:-1, :],
                           g3_pad[:, 2:, :]], axis=-1)       # [r+2, r, 9]
-    base = (ci_deep[:, 0] + 1) * r + ci_deep[:, 1]
-    return _packed_mono_window(gy.reshape(-1, 9), base, r, payload, pos,
+    gxy = jnp.concatenate([gy[:-2], gy[1:-1], gy[2:]],
+                          axis=-1)                          # [r, r, 27]
+    base = ci_deep[:, 0] * r + ci_deep[:, 1]
+    return _packed_mono_window(gxy.reshape(-1, 27), base, payload, pos,
                                eps_sq)
 
 
-def _packed_mono_window(gy9, base, yin, payload, pos, eps_sq):
-    """3-gather y-packed 3x3 monopole window kick. gy9: [M, 9] rows of 3
-    y-neighbor (m, sx, sy) cells; base: [N] home row (y inner-unpadded,
-    stride yin). eps_sq arrives ALREADY widened. Accumulation order
-    matches _aggregate_window_eval (ox, oy) bitwise."""
+def _packed_mono_window(g27, base, payload, pos, eps_sq):
+    """1-gather fully packed 3x3 monopole window kick. g27: [M, 27] rows
+    holding all 9 (ox, oy)-neighbor (m, sx, sy) cells, lane block
+    9*(ox+1) + 3*(oy+1); base: [N] home row in the UNPADDED r x r
+    layout. eps_sq arrives ALREADY widened. Accumulation order matches
+    _aggregate_window_eval (ox, oy) bitwise."""
     px, py = pos[:, 0], pos[:, 1]
     ax = jnp.zeros_like(px)
     ay = jnp.zeros_like(py)
-    for ox in (-1, 0, 1):
-        rows = gy9[base + ox * yin]                         # [N, 9]
-        for j, oy in enumerate((-1, 0, 1)):
-            ch = rows[:, 3 * j:3 * j + 3]
-            if ox == 0 and oy == 0:
+    rows = g27[base]                                        # [N, 27]
+    for jx in range(3):
+        for jy in range(3):
+            o = 9 * jx + 3 * jy
+            ch = rows[:, o:o + 3]
+            if jx == 1 and jy == 1:
                 ch = ch - payload
             m = ch[:, 0]
             safe_m = jnp.where(m > 0, m, 1.0)
@@ -1284,13 +1292,16 @@ def _tile_apply(pos, payload, bulk_pos, ci_f, b_par, local_w, g3k,
     g3kp = jnp.pad(g3k, ((0, 0), (rin, rin), (rin, rin), (0, 0)))
     stride = Wf + 2 * rin
     if rin == 1:
-        # y-packed 3-gather window (r5): same lane-utilization shave as
-        # _deep_near_aggregates_packed.
+        # Fully packed 1-gather window (r5): same lane-utilization shave
+        # as _deep_near_aggregates_packed; the [T, Wf, Wf, 27] packed
+        # tile grids are small.
         gy = jnp.concatenate([g3kp[..., :-2, :], g3kp[..., 1:-1, :],
                               g3kp[..., 2:, :]], axis=-1)
-        base_p = (sc * stride + rel[:, 0] + rin) * Wf + rel[:, 1]
+        gxy = jnp.concatenate([gy[:, :-2], gy[:, 1:-1], gy[:, 2:]],
+                              axis=-1)                 # [T, Wf, Wf, 27]
+        base_p = (sc * Wf + rel[:, 0]) * Wf + rel[:, 1]
         near_ref = _packed_mono_window(
-            gy.reshape(-1, 9), base_p, Wf, payload[:, :3], pos,
+            gxy.reshape(-1, 27), base_p, payload[:, :3], pos,
             eps_sq + _DEEP_SMOOTH * s_k * s_k)
     else:
         base = (sc * stride + rel[:, 0] + rin) * stride + rel[:, 1] + rin

@@ -891,15 +891,17 @@ def _deep_near_aggregates3(pos, payload, gp, ci_deep, eps_sq, s_d,
 
 def _deep_near_aggregates3_packed(pos, payload, g4_pad, ci_deep, eps_sq,
                                   s_d):
-    """z-packed variant of _deep_near_aggregates3 for the single-chip
+    """y+z-packed variant of _deep_near_aggregates3 for the single-chip
     rin=1 window: the 27 per-offset row gathers were the deep path's
     dominant remaining stage (0.33 s at clustered N=1M, r5 profile)
-    because each transaction fetches a 4-float row — 124 of 128 lanes
-    wasted. Packing the 3 z-neighbor cells into 12-lane rows (one dense
-    concat, stencil-cheap) cuts the gathers to 9 of 3x-wider rows.
-    g4_pad: [r+2, r+2, r+2, 4] rin=1-padded monopole grids (same input
-    the unpacked call takes). Accumulation order matches
-    _aggregate_window_eval3 (ox, oy, oz) bitwise."""
+    because TPU gathers are row-rate-bound (~20-25M rows/s) and each row
+    fetches only 4 floats — 124 of 128 lanes wasted. Packing the 3x3
+    (y, z)-neighbor cells into 36-lane rows (two dense concats,
+    stencil-cheap; a 2.4 GB transient at the 256^3 deep cap) cuts the
+    gathers to 3 of 9x-wider rows. g4_pad: [r+2, r+2, r+2, 4]
+    rin=1-padded monopole grids (same input the unpacked call takes).
+    Accumulation order matches _aggregate_window_eval3 (ox, oy, oz)
+    bitwise."""
     from nbodysim_tpu.physics.barneshut import _DEEP_SMOOTH
 
     eps_sq = eps_sq + _DEEP_SMOOTH * s_d * s_d
@@ -907,28 +909,33 @@ def _deep_near_aggregates3_packed(pos, payload, g4_pad, ci_deep, eps_sq,
     r = side - 2
     gz = jnp.concatenate([g4_pad[:, :, :-2, :], g4_pad[:, :, 1:-1, :],
                           g4_pad[:, :, 2:, :]], axis=-1)  # [r+2, r+2, r, 12]
-    base = ((ci_deep[:, 0] + 1) * side + ci_deep[:, 1] + 1) * r \
-        + ci_deep[:, 2]
-    return _packed_mono_window3(gz.reshape(-1, 12), base, side, r,
+    gyz = jnp.concatenate([gz[:, :-2], gz[:, 1:-1], gz[:, 2:]],
+                          axis=-1)                     # [r+2, r, r, 36]
+    base = ((ci_deep[:, 0] + 1) * r + ci_deep[:, 1]) * r + ci_deep[:, 2]
+    return _packed_mono_window3(gyz.reshape(-1, 36), base, r * r,
                                 payload, pos, eps_sq)
 
 
-def _packed_mono_window3(gz12, base, side, zin, payload, pos, eps_sq):
-    """9-gather z-packed 3^3 monopole window kick. gz12: [M, 12] rows of
-    3 z-neighbor (m, sx, sy, sz) cells; base: [N] home row (z already
-    inner-unpadded, stride zin; x stride side*zin). eps_sq arrives
-    ALREADY widened. Accumulation order matches _aggregate_window_eval3
-    (ox, oy, oz) bitwise."""
+def _packed_mono_window3(g36, base, xstride, payload, pos, eps_sq):
+    """3-gather y+z-packed 3^3 monopole window kick. g36: [M, 36] rows
+    holding the 3x3 (oy, oz)-neighbor (m, sx, sy, sz) cells, lane block
+    12*(oy+1) + 4*(oz+1); base: [N] home row (y and z inner-unpadded;
+    the x offset advances by `xstride` rows). eps_sq arrives ALREADY
+    widened. Accumulation order matches _aggregate_window_eval3
+    (ox, oy, oz) bitwise. Full 27-cell packing would gather once but
+    costs a 108-lane grid (7 GB at the 256^3 deep level) — 3 gathers of
+    36 lanes is the memory-feasible point on the row-rate-bound curve."""
     px, py, pz = pos[:, 0], pos[:, 1], pos[:, 2]
     ax = jnp.zeros_like(px)
     ay = jnp.zeros_like(py)
     az = jnp.zeros_like(pz)
     for ox in (-1, 0, 1):
-        for oy in (-1, 0, 1):
-            rows = gz12[base + (ox * side + oy) * zin]        # [N, 12]
-            for j, oz in enumerate((-1, 0, 1)):
-                ch = rows[:, 4 * j:4 * j + 4]
-                if ox == 0 and oy == 0 and oz == 0:
+        rows = g36[base + ox * xstride]                   # [N, 36]
+        for jy in range(3):
+            for jz in range(3):
+                o = 12 * jy + 4 * jz
+                ch = rows[:, o:o + 4]
+                if ox == 0 and jy == 1 and jz == 1:
                     ch = ch - payload
                 m = ch[:, 0]
                 safe_m = jnp.where(m > 0, m, 1.0)
@@ -1268,15 +1275,19 @@ def _tile_apply3(pos, payload, bulk_pos, ci_f, b_par, local_w, g4k,
                          (0, 0)))
     side = Wf + 2 * rin
     if rin == 1:
-        # z-packed 9-gather window (r5): same lane-utilization shave as
-        # _deep_near_aggregates3_packed — the 27 4-lane row gathers were
-        # the apply's dominant cost at clustered N=1M.
+        # y+z-packed 3-gather window (r5): same lane-utilization shave
+        # as _deep_near_aggregates3_packed — the 27 4-lane row gathers
+        # were the apply's dominant cost at clustered N=1M; the packed
+        # tile grids are [T, side, Wf, Wf, 36] (~1 GB at the flagship
+        # tile shapes, transient).
         gz = jnp.concatenate([g4kp[..., :-2, :], g4kp[..., 1:-1, :],
                               g4kp[..., 2:, :]], axis=-1)
-        base_p = (((sc * side) + rel[:, 0] + rin) * side
-                  + rel[:, 1] + rin) * Wf + rel[:, 2]
+        gyz = jnp.concatenate([gz[:, :, :-2], gz[:, :, 1:-1],
+                               gz[:, :, 2:]], axis=-1)
+        base_p = (((sc * side) + rel[:, 0] + rin) * Wf
+                  + rel[:, 1]) * Wf + rel[:, 2]
         near_ref = _packed_mono_window3(
-            gz.reshape(-1, 12), base_p, side, Wf, payload[:, :4], pos,
+            gyz.reshape(-1, 36), base_p, Wf * Wf, payload[:, :4], pos,
             eps_sq + _DEEP_SMOOTH * s_k * s_k)
     else:
         base = (((sc * side) + rel[:, 0] + rin) * side + rel[:, 1] + rin
@@ -1291,9 +1302,10 @@ def _refined_cap3(n: int) -> int:
     """Static row capacity for the 3D compacted tile apply (see
     barneshut._refined_cap). 3D clustered scenes concentrate harder than
     2D (r5 probe: frac_ref 45.5% at clustered N=1M vs 15.3% on the 2D
-    merger), so the octree keeps n//2 + the in-jit full-length
-    fallback."""
-    return max(n // 2, 4096)
+    merger), so the octree keeps 5n/8 + the in-jit full-length fallback
+    (the blob bar scene measured refined_cand = n/2 + 81 — a hair over
+    the old n//2 cap, silently forfeiting the compact path's 0.12 s)."""
+    return max((5 * n) // 8, 4096)
 
 
 def _scatter_cap3(n: int) -> int:

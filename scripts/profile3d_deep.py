@@ -59,6 +59,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1 << 20)
     ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--blob", action="store_true",
+                    help="use the bench3d_clustered.py blob scene (the "
+                         "<=1 s bar scene) instead of galaxy_merger")
     ap.add_argument("--whole", action="store_true",
                     help="also time the WHOLE eval (biggest compile LAST, "
                          "per the CLAUDE.md relay-death hazard)")
@@ -72,6 +75,19 @@ def main():
                        bh_deep_levels=-1, bh_tile_levels=-1,
                        enable_collisions=False, dt=0.05)
     state = init_scene("galaxy_merger", config)
+    if args.blob:
+        # The bench3d_clustered.py bar scene: half the particles in a dense
+        # Gaussian blob, half uniform background (same key/params).
+        k = jax.random.split(jax.random.PRNGKey(11), 3)
+        n_ = args.n
+        blob_p = 40.0 * jax.random.normal(k[0], (n_ // 2, 3)) + jnp.array(
+            [500.0, -200.0, 100.0])
+        bg = jax.random.uniform(k[1], (n_ - n_ // 2, 3), jnp.float32,
+                                -30000.0, 30000.0)
+        state = state.replace(
+            pos=jnp.concatenate([blob_p, bg]).astype(jnp.float32),
+            mass=jax.random.uniform(k[2], (n_,), jnp.float32, 0.1, 10.0))
+
     pos = jax.device_put(state.pos)
     mass = jax.device_put(state.mass)
     n = args.n

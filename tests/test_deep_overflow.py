@@ -536,9 +536,10 @@ def test_packed_aggregates_bitwise_parity():
         g2flat.reshape(-1, 3), base2, side, payload, pos, 1.0, 1))
     gy = jnp.concatenate([g2flat[:, :-2, :], g2flat[:, 1:-1, :],
                           g2flat[:, 2:, :]], axis=-1)
-    basep2 = (ci[:, 0] + 1) * r + ci[:, 1]
+    gxy = jnp.concatenate([gy[:-2], gy[1:-1], gy[2:]], axis=-1)
+    basep2 = ci[:, 0] * r + ci[:, 1]
     w_new = np.asarray(bh._packed_mono_window(
-        gy.reshape(-1, 9), basep2, r, payload, pos, 1.0))
+        gxy.reshape(-1, 27), basep2, payload, pos, 1.0))
     assert np.array_equal(w_old, w_new)
 
     g3flat = jnp.pad(g4, ((1, 1), (1, 1), (1, 1), (0, 0)))
@@ -548,7 +549,8 @@ def test_packed_aggregates_bitwise_parity():
         g3flat.reshape(-1, 4), base3, side, payload3, pos3, 1.0, 1))
     gz = jnp.concatenate([g3flat[:, :, :-2, :], g3flat[:, :, 1:-1, :],
                           g3flat[:, :, 2:, :]], axis=-1)
-    basep3 = ((ci3[:, 0] + 1) * side + ci3[:, 1] + 1) * r + ci3[:, 2]
+    gyz = jnp.concatenate([gz[:, :-2], gz[:, 1:-1], gz[:, 2:]], axis=-1)
+    basep3 = ((ci3[:, 0] + 1) * r + ci3[:, 1]) * r + ci3[:, 2]
     v_new = np.asarray(b3._packed_mono_window3(
-        gz.reshape(-1, 12), basep3, side, r, payload3, pos3, 1.0))
+        gyz.reshape(-1, 36), basep3, r * r, payload3, pos3, 1.0))
     assert np.array_equal(v_old, v_new)
