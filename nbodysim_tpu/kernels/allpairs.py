@@ -102,6 +102,129 @@ def _allpairs_kernel(
     out_ref[:] += acc
 
 
+def _allpairs_wide_kernel(
+    tgtT_ref,     # [D, BT]  target positions, coordinate-major (VMEM)
+    src_ref,      # [BS, D]  source positions (VMEM)
+    mass_ref,     # [BS, 1]  source masses, G pre-folded (VMEM)
+    outT_ref,     # [D, BT]  accelerations, coordinate-major (revisited)
+    *,
+    dim: int,
+    eps_sq: float,
+):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        outT_ref[:] = jnp.zeros_like(outT_ref)
+
+    tgtT = tgtT_ref[:]                    # [D, BT]
+    src = src_ref[:]                      # [BS, D]
+    m = mass_ref[:]                       # [BS, 1]
+
+    # Pair matrix is [BS, BT]: sources on sublanes, targets on lanes, so
+    # src[:, d:d+1] ([BS, 1]) and tgtT[d:d+1, :] ([1, BT]) broadcast in
+    # their natural orientations — no VREG transposes anywhere.
+    diffs = []
+    d_sq = jnp.full((src.shape[0], tgtT.shape[1]), eps_sq, jnp.float32)
+    for d in range(dim):
+        diff = src[:, d : d + 1] - tgtT[d : d + 1, :]    # [BS, BT]
+        diffs.append(diff)
+        d_sq = d_sq + diff * diff
+
+    inv = lax.rsqrt(d_sq)
+    w = m * (inv * inv * inv)                            # [BS, BT]
+    if eps_sq == 0.0:
+        # Only needed unsoftened: rsqrt(0) = inf would make w*diff NaN.
+        w = jnp.where(d_sq > 0.0, w, 0.0)
+
+    accT = jnp.concatenate(
+        [jnp.sum(w * diff, axis=0, keepdims=True) for diff in diffs],
+        axis=0,
+    )                                                    # [D, BT]
+    outT_ref[:] += accT
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "eps_sq", "g_const", "block_targets", "block_sources", "interpret"
+    ),
+)
+def allpairs_accelerations_wide(
+    pos: jax.Array,            # [N, D]  target positions (the BIG side)
+    src_pos: jax.Array,        # [S, D]  source positions (small)
+    src_mass: jax.Array,       # [S]
+    *,
+    eps_sq: float,
+    g_const: float = 1.0,
+    block_targets: int = 2048,
+    block_sources: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """Rectangular all-pairs for MANY targets x FEW sources (the tree
+    code's bulk<-outlier coupling), with coordinate-major Pallas IO.
+
+    Feeding the standard kernel a [N, D] target operand constrains that
+    operand to the dense {1,0} layout; on TPU a [4M, 2] f32 array in
+    {1,0:T(8,128)} tile-pads 2 -> 128 lanes (a 2 GB copy, 64x expansion),
+    and the constraint propagated {1,0} layouts onto every [N, 1]/[N, 2]
+    temp of the surrounding tree graph — 13 such 2 GB remat copies OOMed
+    the 16 GB chip at config 5 (27 GB program, 4.5% utilization; r5).
+    Here targets and output cross the Pallas boundary as [D, N], which is
+    bit-identical to the {0,1} layout XLA naturally assigns [N, D]
+    arrays, so the boundary transposes are free bitcasts and no layout
+    constraint escapes into the caller's graph.
+    """
+    n, dim = pos.shape
+    n_src = src_pos.shape[0]
+    pos = pos.astype(jnp.float32)
+    src_pos = src_pos.astype(jnp.float32)
+    src_mass = src_mass.astype(jnp.float32)
+
+    bt = min(block_targets, max(128, 1 << (n - 1).bit_length()))
+    bs = min(block_sources, max(8, 1 << (n_src - 1).bit_length()))
+
+    n_t = _cdiv(n, bt) * bt
+    n_s = _cdiv(n_src, bs) * bs
+    tgtT = jnp.pad(pos, ((0, n_t - n), (0, 0))).T          # [D, n_t]
+    src = jnp.pad(src_pos, ((0, n_s - n_src), (0, 0)))     # [n_s, D]
+    m_col = (g_const * jnp.pad(src_mass, (0, n_s - n_src)))[:, None]
+
+    grid = (n_t // bt, n_s // bs)
+
+    kernel = functools.partial(
+        _allpairs_wide_kernel, dim=dim, eps_sq=float(eps_sq)
+    )
+
+    flops_per_pair = 10 + 2 * (dim + 1)
+    outT = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((dim, bt), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, dim), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bs, 1), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((dim, bt), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((dim, n_t), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_pair * n_t * n_s,
+            bytes_accessed=(2 * n_t + n_s) * dim * 4 + n_s * 4,
+            transcendentals=n_t * n_s,
+        ),
+        interpret=interpret,
+    )(tgtT, src, m_col)
+
+    return outT.T[:n]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(

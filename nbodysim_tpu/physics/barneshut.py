@@ -1411,16 +1411,28 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     from nbodysim_tpu.physics.forces import direct_accelerations
 
     if nf_pallas:
-        from nbodysim_tpu.kernels.allpairs import allpairs_accelerations
+        from nbodysim_tpu.kernels.allpairs import (
+            allpairs_accelerations, allpairs_accelerations_wide)
 
         def _direct(tp, sp, sm):
             return allpairs_accelerations(
                 tp, None, eps_sq=eps_sq, g_const=g_const,
                 interpret=interpret, src_pos=sp, src_mass=sm)
+
+        def _direct_wide(tp, sp, sm):
+            # MANY targets x FEW sources MUST use the transposed-IO
+            # kernel: a [N, 2] target operand to the standard kernel
+            # forces a {1,0} dense layout whose tile padding (2 GB at
+            # N=4M) infected the whole tree graph and OOMed HBM (r5).
+            return allpairs_accelerations_wide(
+                tp, sp, sm, eps_sq=eps_sq, g_const=g_const,
+                interpret=interpret)
     else:
         def _direct(tp, sp, sm):
             return direct_accelerations(tp, None, eps_sq, g_const,
                                         src_pos=sp, src_mass=sm)
+
+        _direct_wide = _direct
 
     acc_out = _direct(pos[out_i], pos, jnp.where(is_heavy, 0.0, mass))
     # As sources toward the bulk, outliers must not re-contribute heavy
@@ -1430,7 +1442,7 @@ def _bh_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     # outliers' mass, by exact [N, k_out] pairs (outlier-target rows of
     # this term are discarded below — their exact pass already includes
     # outlier-outlier interactions).
-    acc_from_out = _direct(pos, pos[out_i], out_src_mass)
+    acc_from_out = _direct_wide(pos, pos[out_i], out_src_mass)
 
     mass = ext["tree_mass"]      # the tree sees only the bulk
     bulk_pos = ext["bulk_pos"]

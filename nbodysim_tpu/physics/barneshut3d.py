@@ -1522,20 +1522,32 @@ def _bh3_accelerations(pos, mass, levels: int, eps_sq: float, g_const: float,
     from nbodysim_tpu.physics.forces import direct_accelerations
 
     if nf_pallas:
-        from nbodysim_tpu.kernels.allpairs import allpairs_accelerations
+        from nbodysim_tpu.kernels.allpairs import (
+            allpairs_accelerations, allpairs_accelerations_wide)
 
         def _direct(tp, sp, sm):
             return allpairs_accelerations(
                 tp, None, eps_sq=eps_sq, g_const=g_const,
                 interpret=interpret, src_pos=sp, src_mass=sm)
+
+        def _direct_wide(tp, sp, sm):
+            # MANY targets x FEW sources MUST use the transposed-IO
+            # kernel — see barneshut._bh_accelerations (a [N, D] target
+            # operand's forced {1,0} layout tile-pads D -> 128 lanes and
+            # the constraint infects the caller graph; OOMed at 4M, r5).
+            return allpairs_accelerations_wide(
+                tp, sp, sm, eps_sq=eps_sq, g_const=g_const,
+                interpret=interpret)
     else:
         def _direct(tp, sp, sm):
             return direct_accelerations(tp, None, eps_sq, g_const,
                                         src_pos=sp, src_mass=sm)
 
+        _direct_wide = _direct
+
     acc_out = _direct(pos[out_i], pos, jnp.where(is_heavy, 0.0, mass))
     out_src_mass = jnp.where(out_sel & ~is_heavy[out_i], mass[out_i], 0.0)
-    acc_from_out = _direct(pos, pos[out_i], out_src_mass)
+    acc_from_out = _direct_wide(pos, pos[out_i], out_src_mass)
 
     tree_mass = ext["tree_mass"]
     bulk_pos = ext["bulk_pos"]

@@ -73,3 +73,37 @@ def test_kernel_zero_mass_sources_ignored():
     )
     ref = np.asarray(direct_accelerations(pos, mass, eps_sq=1.0))
     np.testing.assert_allclose(pal, ref, atol=1e-7)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_wide_kernel_matches_oracle(dim):
+    """Transposed-IO rectangular kernel (many targets x few sources) vs
+    the XLA oracle — the bulk<-outlier coupling shape (r5 OOM fix)."""
+    from nbodysim_tpu.kernels.allpairs import allpairs_accelerations_wide
+
+    tgt, _ = _system(500, dim=dim, seed=3)
+    src, src_m = _system(40, dim=dim, seed=4)
+    ref = np.asarray(direct_accelerations(
+        tgt, None, 1.0, 2.5, src_pos=src, src_mass=src_m))
+    pal = np.asarray(allpairs_accelerations_wide(
+        tgt, src, src_m, eps_sq=1.0, g_const=2.5, interpret=True))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(pal, ref, atol=scale * 1e-5)
+
+
+def test_wide_kernel_multi_tile_and_self_pair():
+    """Blocked path (several target/source tiles) + a source coinciding
+    with a target under eps=0 must contribute zero, not NaN."""
+    from nbodysim_tpu.kernels.allpairs import allpairs_accelerations_wide
+
+    tgt, _ = _system(300, seed=5)
+    src, src_m = _system(20, seed=6)
+    src = src.at[0].set(tgt[7])          # exact overlap
+    ref = np.asarray(direct_accelerations(
+        tgt, None, 0.0, 1.0, src_pos=src, src_mass=src_m))
+    pal = np.asarray(allpairs_accelerations_wide(
+        tgt, src, src_m, eps_sq=0.0, block_targets=128,
+        block_sources=8, interpret=True))
+    assert np.all(np.isfinite(pal))
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(pal, ref, atol=scale * 1e-5)
