@@ -49,10 +49,34 @@ def measure(n: int, frames: int, steps_per_frame: int = 5) -> None:
     plt.close(fig)
 
 
+def _device_watchdog(seconds: float = 420.0):
+    """Self-kill if the first trivial device op cannot complete — the
+    axon client hangs silently at init when launched within minutes of a
+    previous client's exit (r5), and a hung client squats on the chip,
+    blocking every later launch. Pattern from bench.py."""
+    import threading
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            print(json.dumps({"error": f"first device op did not "
+                              f"complete in {seconds:.0f}s"}), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    np.asarray(jnp.ones((8,)).sum())
+    done.set()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=100)
     args = ap.parse_args()
+    _device_watchdog()
     measure(25_000, args.frames)          # the reference workload
     measure(262_144, max(args.frames // 2, 20))
 
